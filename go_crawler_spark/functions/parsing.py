@@ -1,0 +1,223 @@
+"""Scrape/parse operator family (SURVEY.md §2 E): the reference's
+26-field extraction pipeline re-expressed as Catalyst Column ladders.
+
+Reusable Column builders (``*_col``) are consumed by the scraper
+projection (go_crawler_spark.scraper) and by the ``q_*`` driver-contract
+wrappers below. Everything here is JVM-side (regexp_*, when/otherwise,
+try_to_timestamp) — whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_crawler_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Column builders (reference parity, cited per function)
+# ---------------------------------------------------------------------------
+
+# Six accepted date layouts, tried in order —
+# /root/reference/internal/infra/job_posting_parser.go:106-124
+DATE_FORMATS_SPARK = (
+    "yyyy年MM月dd日",
+    "yyyy/MM/dd",
+    "yyyy-MM-dd",
+    "yyyy.MM.dd",
+    "yyyy年MM月dd日HH時mm分",
+    "yyyy/MM/dd HH:mm",
+)
+
+
+def parse_posted_at(col: Column) -> Column:
+    """Multi-format date parse, first-success-wins (parser.go:106-124)."""
+    attempts = [F.try_to_timestamp(col, F.lit(fmt)) for fmt in DATE_FORMATS_SPARK]
+    return F.coalesce(*attempts)
+
+
+def extract_total_count(col: Column) -> Column:
+    """Total-count extraction: first ``[0-9,]+`` run, commas stripped,
+    cast int — /root/reference/internal/usecase/crawler.go:413-430."""
+    raw = F.regexp_extract(col, r"[0-9][0-9,]*", 0)
+    return F.nullif(F.replace(raw, F.lit(","), F.lit("")), F.lit("")).cast("int")
+
+
+def parse_amount_yen(col: Column) -> Column:
+    """Money parse with unit multipliers 億=1e8 / 万=1e4 / 千=1e3.
+
+    The reference iterates a Go map (nondeterministic when two units
+    co-occur, /root/reference/internal/infra/job_posting_parser.go:136-174);
+    we fix precedence 億 > 万 > 千 — a deterministic superset documented
+    in SURVEY.md §2 E7. Digits: first decimal run before the unit;
+    fallback strips all non-digits.
+    """
+    num = F.regexp_extract(col, r"(\d+(?:\.\d+)?)", 1)
+    plain = F.nullif(F.regexp_replace(col, r"[^0-9]", ""), F.lit(""))
+    return (
+        F.when(
+            col.contains("億") & (num != ""),
+            (num.cast("double") * 100_000_000).cast("long"),
+        )
+        .when(
+            col.contains("万") & (num != ""),
+            (num.cast("double") * 10_000).cast("long"),
+        )
+        .when(
+            col.contains("千") & (num != ""),
+            (num.cast("double") * 1_000).cast("long"),
+        )
+        .otherwise(plain.cast("long"))
+    )
+
+
+# Ordered contains-ladder classifiers. Order is load-bearing: the
+# reference checks cases sequentially (first match wins).
+JOB_TYPE_LADDER = (  # parser.go:73-94
+    ("正社員", "正社員"),
+    ("契約社員", "契約社員"),
+    ("アルバイト", "アルバイト"),
+    ("パート", "パート"),
+    ("業務委託", "業務委託"),
+    ("派遣", "派遣社員"),
+)
+
+SALARY_TYPE_LADDER = (  # parser.go:324-337
+    ("年収", "年収"),
+    ("年給", "年収"),
+    ("月給", "月給"),
+    ("日給", "日給"),
+    ("時給", "時給"),
+)
+
+HOLIDAY_POLICY_LADDER = (  # parser.go:382-398 — 完全… must precede 週休二日制
+    ("完全週休二日制", "完全週休二日制"),
+    ("週休二日制", "週休二日制"),
+    ("週休制", "週休制"),
+    ("シフト制", "シフト制"),
+)
+
+WORKPLACE_LADDER = (  # parser.go:409-421 — フルリモート unreachable (kept)
+    ("出社", "出社"),
+    ("在宅", "リモート"),
+    ("リモート", "リモート"),
+    ("ハイブリッド", "ハイブリッド"),
+)
+
+
+def contains_ladder(
+    col: Column, ladder: tuple[tuple[str, str], ...], default: str = "不明"
+) -> Column:
+    """Ordered strings.Contains ladder → when/otherwise chain (codegen)."""
+    expr: Column | None = None
+    for needle, label in ladder:
+        cond = col.contains(needle)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    assert expr is not None
+    return expr.otherwise(default)
+
+
+def parse_optional_uint(col: Column) -> Column:
+    """Strip non-digits; empty → NULL (parser.go:350-371)."""
+    return F.nullif(F.regexp_replace(col, r"[^0-9]", ""), F.lit("")).cast("long")
+
+
+def normalize_string_native(col: Column) -> Column:
+    """The JVM-side 95% of the reference's normalizeString
+    (parser.go:617-641): fullwidth digit/symbol folding + unicode-space
+    trim + control-char strip. Full NFKC parity lives in the
+    vectorized kernel (functions/kernels.py) for the canonicalize path;
+    this native form is used in extraction ladders where the input
+    alphabet is known.
+    """
+    c = F.translate(
+        col,
+        "０１２３４５６７８９：－．（）／＼〜～",
+        "0123456789:-.()/\\~~",
+    )
+    c = F.regexp_replace(c, r"[ 　]", " ")
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries (oracle-paired)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 over documents.text + events.props (digits appear in props)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        extract_total_count(F.col("props")).alias("total_count"),
+    )
+
+
+def q_date_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: render o_orderdate into one of 4 layouts (picked by key mod),
+    then recover it via the first-success coalesce ladder. The render +
+    reparse round-trip makes the multi-format parse oracle-checkable on
+    deterministic inputs."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey") % 4
+    rendered = (
+        F.when(k == 0, F.date_format("o_orderdate", "yyyy年MM月dd日"))
+        .when(k == 1, F.date_format("o_orderdate", "yyyy/MM/dd"))
+        .when(k == 2, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .otherwise(F.date_format("o_orderdate", "yyyy.MM.dd"))
+    )
+    df = orders.select("o_orderkey", rendered.alias("posted_at_raw"))
+    return df.select(
+        "o_orderkey",
+        "posted_at_raw",
+        F.date_format(parse_posted_at(F.col("posted_at_raw")), "yyyy-MM-dd").alias(
+            "posted_at"
+        ),
+    )
+
+
+def q_classifier_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E11/E13-shaped ordered ladder over p_type (first match wins)."""
+    part = load(spark, sf_dir, "part")
+    ladder = (
+        ("ECONOMY", "economy"),
+        ("STANDARD", "standard"),
+        ("MEDIUM", "medium"),
+        ("PROMO", "promo"),
+        ("LARGE", "large"),
+        ("SMALL", "small"),
+    )
+    return part.select(
+        "p_partkey",
+        contains_ladder(F.col("p_type"), ladder, default="unknown").alias(
+            "type_class"
+        ),
+    )
+
+
+def q_amount_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: synthesize unit-suffixed money strings from part rows, parse
+    back to yen with fixed 億>万>千 precedence."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey") % 4
+    raw = (
+        F.when(k == 0, F.concat(F.lit("月給"), F.col("p_size").cast("string"), F.lit("万円")))
+        .when(k == 1, F.concat(F.col("p_size").cast("string"), F.lit("千円")))
+        .when(k == 2, F.concat(F.lit("年収0."), (F.col("p_size") % 10).cast("string"), F.lit("億円")))
+        .otherwise(F.concat(F.lit("時給 "), (F.col("p_size") * 13).cast("string"), F.lit("円")))
+    )
+    df = part.select("p_partkey", raw.alias("salary_raw"))
+    return df.select(
+        "p_partkey",
+        "salary_raw",
+        parse_amount_yen(F.col("salary_raw")).alias("amount_yen"),
+    )
+
+
+def q_optional_uint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: digit-strip parse over event props JSON fragments."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", parse_optional_uint(F.col("props")).alias("holidays")
+    )

@@ -1,0 +1,216 @@
+"""Relational operator family: scans, projections, joins, aggregations,
+windows, set ops — the Spark re-expression of the reference's implicit
+dataflow (SURVEY.md §2 A/C/D/F).
+
+Every public ``q_*`` function takes ``(spark, sf_dir)`` and returns a
+DataFrame whose column names match the paired oracle SQL in
+``go_crawler_spark.oracles`` exactly (the driver hash-compares values
+after sorting columns by name).
+
+Scale notes (100 TB discipline):
+- dimension joins (nation/region/supplier) are explicitly broadcast —
+  at any scale those stay dim-sized;
+- fact-fact joins (orders⋈lineitem) shuffle on the join key and rely on
+  AQE for skew split;
+- aggregations are expressed as single groupBy so Catalyst plans
+  partial (map-side) + final hash aggregation;
+- all filters are plain Column predicates → parquet pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_crawler_spark.tables import load
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Mirrors the reference's metrics rollup shape (success/fail counters,
+    /root/reference/internal/usecase/crawler.go:609-631) generalized to
+    a full grouped aggregate. Single shuffle; partial agg map-side.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_dedupe_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enqueue-with-dedupe as an anti-join (SURVEY.md §2 D1/B10).
+
+    'new URLs' = orders; 'seen set' = customers in the BUILDING segment.
+    The reference probes Redis per URL
+    (/root/reference/internal/usecase/crawler.go:448-456); the Spark form
+    is one left_anti join — the seen side is aggregated to distinct keys
+    first so the anti-join probe side is minimal.
+    """
+    orders = load(spark, sf_dir, "orders")
+    seen = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+    )
+    return orders.join(seen, "o_custkey", "left_anti").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_dedupe_first_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-batch duplicate collapse, deterministic (SURVEY.md §2 D3).
+
+    The reference's per-page goroutines race on Exists/Save
+    (/root/reference/internal/usecase/crawler.go:263-304); we collapse
+    duplicates by a deterministic first-writer rule: min id per key.
+    Key = leading 5 tokens of the document (a canonicalized-URL analog).
+    """
+    docs = load(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    return (
+        docs.select(F.col("doc_id"), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def q_politeness_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-ranked per-host budget dequeue (SURVEY.md §2 F2/C6).
+
+    host → user_id, priority → value: rank events per user and keep the
+    top 3. This is the politeness scheduler's core shape: one shuffle on
+    the partition key, rank, filter — no driver-side loop.
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of discovered-URL sets across strategies (SURVEY.md §2 D4)."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.unionByName(supp).distinct()
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round metrics aggregation (SURVEY.md §2 F5): counters + rates."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value") > 5.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation in ASIA (TPC-H-Q5 shape; SURVEY.md §2 G joins).
+
+    nation/region/supplier are broadcast (dim-sized at any SF); the
+    orders⋈lineitem fact join shuffles on orderkey with AQE skew split.
+    Customer and supplier must share the nation (Q5 semantics).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey),
+        )
+        .join(cust, (orders.o_custkey == cust.c_custkey))
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(asia_nations), supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+def q_pagination_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-count pagination (SURVEY.md §2 B5-B7).
+
+    page_count = ceil(total/per_page) exactly as
+    /root/reference/internal/usecase/crawler.go:371; URL construction as
+    buildPaginatedURL query-mode (crawler.go:476-516). Pure narrow ops:
+    sequence + explode + format_string — no shuffle at all.
+    """
+    part = load(spark, sf_dir, "part")
+    per_page = 10
+    pages = part.select(
+        F.col("p_partkey"),
+        F.ceil(F.col("p_size") / F.lit(per_page)).cast("int").alias("page_count"),
+    ).select(
+        "p_partkey",
+        F.explode(F.sequence(F.lit(1), F.col("page_count"))).alias("page_no"),
+    )
+    return pages.select(
+        "p_partkey",
+        F.col("page_no").cast("long").alias("page_no"),
+        F.format_string(
+            "https://jobs.example.com/search/%d?p=%d", "p_partkey", "page_no"
+        ).alias("page_url"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream (30-min gap).
+
+    The batch twin of the streaming session operator: lag → gap flag →
+    running sum = session id. Two window passes over one shuffle
+    (same partition key), then one aggregate.
+    """
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sessions = events.withColumn("new_sess", gap).withColumn(
+        "sess_id", F.sum("new_sess").over(w)
+    )
+    return sessions.groupBy("user_id").agg(
+        (F.max("sess_id") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All JVM-side (split/regexp/aggregate higher-order functions) — these run
+over every document at corpus scale, so no Python may appear in the
+plan. Token arrays are produced once per expression tree and reused by
+Catalyst's common-subexpression elimination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_crawler_spark.tables import load
+
+# Tiny embedded stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small + hardcoded: the heuristic must be reproducible in
+# plain SQL for the oracle, not depend on an external model.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "que")
+STOPWORDS_ES = ("el", "la", "los", "y", "es", "un", "una", "que")
+
+
+def tokens_col(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens_col(col)).cast("long")
+
+
+def stopword_hits(col: Column, stopwords: tuple[str, ...]) -> Column:
+    toks = tokens_col(F.lower(col))
+    return F.size(
+        F.filter(toks, lambda t: t.isin(*stopwords))
+    ).cast("long")
+
+
+def _floordiv(a: Column, b: Column) -> Column:
+    """Exact integer floor-division for non-negative longs.
+
+    (a − a%b)/b keeps every intermediate an exact integer ≤ 2^53, so the
+    final double division is exact and engine-independent — unlike
+    round()/cast() on inexact doubles, where Spark (BigDecimal half-up
+    on the exact binary value) and other engines (shortest-repr
+    rounding) disagree on boundary values.
+    """
+    return ((a - a % b) / b).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Length / punctuation / stopword composite on an integer 0-100
+    scale: 40·min(1, n_tokens/50) + 30·max(0, 1 − 5·punct_ratio)
+    + 30·min(1, 5·stopword_ratio), each term floor-divided exactly.
+    """
+    n_tok = token_count(col)
+    n_chars = F.length(col).cast("long")
+    punct = F.length(F.regexp_replace(col, r"[^.,!?;:]", "")).cast("long")
+    sw = stopword_hits(col, STOPWORDS_EN)
+    t1 = F.least(F.lit(40).cast("long"), _floordiv(n_tok * 40, F.lit(50).cast("long")))
+    t2 = F.when(
+        n_chars > 0,
+        F.greatest(F.lit(0).cast("long"), 30 - _floordiv(punct * 150, n_chars)),
+    ).otherwise(F.lit(30).cast("long"))
+    t3 = F.when(
+        n_tok > 0,
+        F.least(F.lit(30).cast("long"), _floordiv(sw * 150, n_tok)),
+    ).otherwise(F.lit(0).cast("long"))
+    return (t1 + t2 + t3).cast("long")
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over characters mod 2^31−1.
+
+    acc = (acc·31 + codepoint) mod 2147483647 — engine-agnostic (the
+    oracle computes the identical fold in SQL), unlike xxhash64 whose
+    seed/implementation differs across engines. Used as the document
+    fingerprint for exact-dup detection at scale.
+    """
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 2147483647,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID: highest hit count wins; ties broken by
+    fixed order en > de > fr > es; no hits → 'other'."""
+    en = stopword_hits(col, STOPWORDS_EN)
+    de = stopword_hits(col, STOPWORDS_DE)
+    fr = stopword_hits(col, STOPWORDS_FR)
+    es = stopword_hits(col, STOPWORDS_ES)
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(best == 0, "other")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .when(fr == best, "fr")
+        .otherwise("es")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )

@@ -1,0 +1,377 @@
+"""DuckDB oracle SQL — one ANSI-SQL equivalent per driver-contract
+query (see __spark_entry__.py). Each string runs on pre-registered
+views: region nation customer supplier part orders lineitem events
+documents embeddings.
+
+Parity discipline (the driver hash-compares values):
+- every aggregate / computed column is aliased identically to the
+  Spark query;
+- counts / sums of ints are CAST to BIGINT (DuckDB sums ints to
+  HUGEINT, Spark to long);
+- double expressions replicate the Spark computation **in the same
+  operation order** (fold-left for array math) so IEEE results are
+  bit-identical, then round to a fixed number of decimals;
+- casts double→int go through round() on both sides (Spark cast
+  truncates, DuckDB cast rounds — never rely on a bare cast).
+"""
+
+from __future__ import annotations
+
+from go_crawler_spark.functions.similarity import LSH_BANDS, LSH_ROWS, MINHASH_PERMS, P31
+
+# --- shared SQL fragments ---------------------------------------------------
+
+# polynomial rolling hash fold over a string s (must mirror
+# functions/similarity.py::poly_hash exactly: fold-left, acc*31+ord, mod P31)
+def _poly_hash_sql(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({s}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {P31})"
+    )
+
+
+_TOKENS = r"list_filter(regexp_split_to_array(trim({col}), '\s+'), t -> t <> '')"
+
+_EN = "['the','a','of','and','to','in','is','that','for','it']"
+_DE = "['der','die','das','und','ist','nicht','ein','zu']"
+_FR = "['le','la','les','et','est','un','une','que']"
+_ES = "['el','la','los','y','es','un','una','que']"
+
+# double dot-product fold matching functions/similarity.py::dot_double
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, v) -> acc + v))"
+    )
+
+
+# --- relational family -------------------------------------------------------
+
+PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                               AS sum_qty,
+       round(sum(l_extendedprice), 2)                          AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)       AS sum_disc_price,
+       round(avg(l_quantity), 4)                               AS avg_qty,
+       round(avg(l_discount), 4)                               AS avg_disc,
+       CAST(count(*) AS BIGINT)                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+DEDUPE_ANTI_JOIN = """
+SELECT o_orderkey, o_custkey
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c
+  WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey)
+"""
+
+DEDUPE_FIRST_WRITER_WINS = """
+SELECT dup_key,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT)    AS dup_count
+FROM (SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS dup_key
+      FROM documents)
+GROUP BY dup_key
+"""
+
+POLITENESS_TOPK = """
+SELECT user_id, event_id, rn
+FROM (SELECT user_id, event_id,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+METRICS_ROLLUP = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       round(avg(value), 4) AS avg_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+BROADCAST_DIM_JOIN = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+PAGINATION_EXPAND = """
+SELECT p_partkey,
+       CAST(page_no AS BIGINT) AS page_no,
+       printf('https://jobs.example.com/search/%d?p=%d', p_partkey, page_no) AS page_url
+FROM (SELECT p_partkey,
+             unnest(generate_series(1, CAST(ceil(p_size / 10.0) AS INT))) AS page_no
+      FROM part)
+"""
+
+SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(max(sess_id) + 1 AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT)         AS n_events
+FROM sess
+GROUP BY user_id
+"""
+
+# --- parsing family ----------------------------------------------------------
+
+EXTRACT_TOTAL_COUNT = """
+SELECT event_id,
+       CAST(NULLIF(replace(regexp_extract(props, '[0-9][0-9,]*', 0), ',', ''), '') AS INT)
+         AS total_count
+FROM events
+"""
+
+DATE_PARSE_MULTIFORMAT = """
+WITH rendered AS (
+  SELECT o_orderkey,
+         CASE CAST(o_orderkey % 4 AS INT)
+           WHEN 0 THEN strftime(o_orderdate, '%Y年%m月%d日')
+           WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+           WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d')
+           ELSE        strftime(o_orderdate, '%Y.%m.%d')
+         END AS posted_at_raw
+  FROM orders)
+SELECT o_orderkey, posted_at_raw,
+       strftime(COALESCE(
+         try_strptime(posted_at_raw, '%Y年%m月%d日'),
+         try_strptime(posted_at_raw, '%Y/%m/%d'),
+         try_strptime(posted_at_raw, '%Y-%m-%d'),
+         try_strptime(posted_at_raw, '%Y.%m.%d')), '%Y-%m-%d') AS posted_at
+FROM rendered
+"""
+
+CLASSIFIER_LADDER = """
+SELECT p_partkey,
+       CASE WHEN contains(p_type, 'ECONOMY')  THEN 'economy'
+            WHEN contains(p_type, 'STANDARD') THEN 'standard'
+            WHEN contains(p_type, 'MEDIUM')   THEN 'medium'
+            WHEN contains(p_type, 'PROMO')    THEN 'promo'
+            WHEN contains(p_type, 'LARGE')    THEN 'large'
+            WHEN contains(p_type, 'SMALL')    THEN 'small'
+            ELSE 'unknown' END AS type_class
+FROM part
+"""
+
+_NUM_RE = r"(\d+(?:\.\d+)?)"
+
+AMOUNT_PARSE = f"""
+WITH rendered AS (
+  SELECT p_partkey,
+         CASE CAST(p_partkey % 4 AS INT)
+           WHEN 0 THEN '月給' || CAST(p_size AS VARCHAR) || '万円'
+           WHEN 1 THEN CAST(p_size AS VARCHAR) || '千円'
+           WHEN 2 THEN '年収0.' || CAST(p_size % 10 AS VARCHAR) || '億円'
+           ELSE        '時給 ' || CAST(p_size * 13 AS VARCHAR) || '円'
+         END AS salary_raw
+  FROM part)
+SELECT p_partkey, salary_raw,
+       CAST(CASE
+         WHEN contains(salary_raw, '億') AND regexp_extract(salary_raw, '{_NUM_RE}', 1) <> ''
+           THEN round(CAST(regexp_extract(salary_raw, '{_NUM_RE}', 1) AS DOUBLE) * 100000000, 0)
+         WHEN contains(salary_raw, '万') AND regexp_extract(salary_raw, '{_NUM_RE}', 1) <> ''
+           THEN round(CAST(regexp_extract(salary_raw, '{_NUM_RE}', 1) AS DOUBLE) * 10000, 0)
+         WHEN contains(salary_raw, '千') AND regexp_extract(salary_raw, '{_NUM_RE}', 1) <> ''
+           THEN round(CAST(regexp_extract(salary_raw, '{_NUM_RE}', 1) AS DOUBLE) * 1000, 0)
+         ELSE CAST(NULLIF(regexp_replace(salary_raw, '[^0-9]', '', 'g'), '') AS DOUBLE)
+       END AS BIGINT) AS amount_yen
+FROM rendered
+"""
+
+OPTIONAL_UINT = """
+SELECT event_id,
+       CAST(NULLIF(regexp_replace(props, '[^0-9]', '', 'g'), '') AS BIGINT) AS holidays
+FROM events
+"""
+
+# --- textstats family --------------------------------------------------------
+
+_TOK = _TOKENS.format(col="text")
+_TOK_LOWER = _TOKENS.format(col="lower(text)")
+
+TOKEN_COUNT = f"""
+SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOK}) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS punct,
+         CAST(len(list_filter({_TOK_LOWER}, x -> list_contains({_EN}, x))) AS BIGINT) AS sw
+  FROM documents)
+SELECT doc_id,
+       CAST(least(40, CAST((n_tok * 40 - (n_tok * 40) % 50) / 50 AS BIGINT))
+          + (CASE WHEN n_chars > 0
+                  THEN greatest(0, 30 - CAST((punct * 150 - (punct * 150) % n_chars) / n_chars AS BIGINT))
+                  ELSE 30 END)
+          + (CASE WHEN n_tok > 0
+                  THEN least(30, CAST((sw * 150 - (sw * 150) % n_tok) / n_tok AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS quality
+FROM t
+"""
+
+LANG_ID = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_EN}, x))) AS en,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_DE}, x))) AS de,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_FR}, x))) AS fr,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_ES}, x))) AS es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'other'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            WHEN de = greatest(en, de, fr, es) THEN 'de'
+            WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+FINGERPRINT = f"""
+SELECT doc_id, {_poly_hash_sql('text')} AS fingerprint
+FROM documents
+"""
+
+# --- similarity family -------------------------------------------------------
+
+NGRAM_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(ts) - 2 > 0
+                THEN list_transform(generate_series(1, len(ts) - 2),
+                                    i -> array_to_string(ts[i:i+2], ' '))
+                ELSE [] END,
+           s -> {_poly_hash_sql('s')})) AS hs
+  FROM toks)
+SELECT a.doc_id AS doc_id,
+       a.doc_id + 1 AS doc_id_next,
+       round(CASE WHEN len(list_distinct(a.hs || b.hs)) > 0
+                  THEN len(list_intersect(a.hs, b.hs)) / len(list_distinct(a.hs || b.hs))
+                  ELSE 0.0 END, 4) AS jaccard3
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def _minhash_sig_sql() -> str:
+    entries = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {P31}))"
+        for (a, b) in MINHASH_PERMS
+    )
+    return f"[{entries}]"
+
+
+MINHASH_LSH_CANDIDATES = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents),
+th AS (
+  SELECT doc_id, list_transform(ts, t -> {_poly_hash_sql('t')}) AS hs
+  FROM toks WHERE len(ts) > 0),
+sig AS (
+  SELECT doc_id, {_minhash_sig_sql()} AS sig FROM th),
+bands AS (
+  SELECT doc_id, band_id,
+         array_to_string(list_transform(
+           sig[band_id * {LSH_ROWS} + 1 : band_id * {LSH_ROWS} + {LSH_ROWS}],
+           v -> CAST(v AS VARCHAR)), '-') AS band_key
+  FROM sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band_id))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {bit}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN CAST({2 ** bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for bit in range(32)
+    )
+    return terms
+
+
+SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents),
+th AS (
+  SELECT doc_id, list_transform(ts, t -> {_poly_hash_sql('t')}) AS hs
+  FROM toks)
+SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
+FROM th
+"""
+
+EMBEDDING_NEARDUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.45
+"""
+
+ANN_COSINE_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm
+  FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round({_dot_sql('q.qvec', 'e.embedding')} / (q.qnrm * e.nrm), 6) AS cos_sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""

@@ -1,0 +1,76 @@
+"""Driver-contract registry: query name → (spark_fn, oracle_sql | None).
+
+Single source of truth consumed by __spark_entry__.py, tests, and
+bench.py. Names are stable identifiers graded against SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from go_crawler_spark import oracles
+from go_crawler_spark.functions import parsing, relational, similarity, textstats
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (spark function, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
+    "q1_pricing_summary": (relational.q_pricing_summary, oracles.PRICING_SUMMARY),
+    "dedupe_anti_join": (relational.q_dedupe_anti_join, oracles.DEDUPE_ANTI_JOIN),
+    "dedupe_first_writer_wins": (
+        relational.q_dedupe_first_writer_wins,
+        oracles.DEDUPE_FIRST_WRITER_WINS,
+    ),
+    "politeness_topk_per_host": (
+        relational.q_politeness_topk_per_host,
+        oracles.POLITENESS_TOPK,
+    ),
+    "union_distinct": (relational.q_union_distinct, oracles.UNION_DISTINCT),
+    "metrics_rollup": (relational.q_metrics_rollup, oracles.METRICS_ROLLUP),
+    "broadcast_dim_join": (
+        relational.q_broadcast_dim_join,
+        oracles.BROADCAST_DIM_JOIN,
+    ),
+    "pagination_expand": (relational.q_pagination_expand, oracles.PAGINATION_EXPAND),
+    "sessionize": (relational.q_sessionize, oracles.SESSIONIZE),
+    # parsing ladders (SURVEY.md §2 B6/E5-E12)
+    "extract_total_count": (
+        parsing.q_extract_total_count,
+        oracles.EXTRACT_TOTAL_COUNT,
+    ),
+    "date_parse_multiformat": (
+        parsing.q_date_parse_multiformat,
+        oracles.DATE_PARSE_MULTIFORMAT,
+    ),
+    "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
+    "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
+    "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
+    # text analysis (training-data ops)
+    "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
+    "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
+    "lang_id": (textstats.q_lang_id, oracles.LANG_ID),
+    "fingerprint": (textstats.q_fingerprint, oracles.FINGERPRINT),
+    # dedup sketches + similarity search
+    "ngram_jaccard_pairs": (
+        similarity.q_ngram_jaccard_pairs,
+        oracles.NGRAM_JACCARD_PAIRS,
+    ),
+    "minhash_lsh_candidates": (
+        similarity.q_minhash_lsh_candidates,
+        oracles.MINHASH_LSH_CANDIDATES,
+    ),
+    "simhash": (similarity.q_simhash, oracles.SIMHASH),
+    "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
+    "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,63 @@
+"""SparkSession factory tuned for the crawl-frontier workload.
+
+Local-mode sessions here mirror the cluster profile we design for:
+AQE on (runtime re-plan + skew-join splitting for power-law hosts),
+shuffle partitions sized to cores (not the 200 default), Arrow enabled
+for the three vectorized kernels, UTC timestamps for oracle parity.
+
+At cluster scale the same builder is fed through ``spark-submit
+--py-files go_crawler_spark.zip`` with ``master`` left to the cluster
+manager; nothing in the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "go_crawler_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard conf.
+
+    ``cpus=None`` → ``local[*]``. ``shuffle_partitions`` defaults to the
+    core count so small-scale shuffles don't fragment into 200 empty
+    tasks; on a real cluster this is overridden to ~2-3× total cores via
+    ``extra_conf`` (AQE coalescing then trims empties at runtime).
+    """
+    cores = cpus or os.cpu_count() or 8
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    sp = shuffle_partitions or cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big binary payload rows: keep Arrow batches small enough that a
+        # batch of encoded images fits comfortably in a python worker
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
