@@ -1,0 +1,90 @@
+"""Crawl + corpus configuration (the graft's settings/crawler.yaml analog).
+
+The reference drives everything from a validated YAML config
+(/root/reference/internal/config/crawler_config.go:26-106). Here the
+same knobs are dataclasses validated in ``__post_init__`` — eager
+validation mirroring go-playground/validator semantics — and defined
+ONCE so the engine, the simulator, and the tests can never disagree on
+budget math.
+
+Politeness budget: the reference sleeps ``crawl_sleep_seconds`` between
+list-page fetches (/root/reference/internal/usecase/crawler.go:109,
+settings/crawler.yaml:9) — one global rate. The north rule upgrades it
+to per-host robots crawl-delay: within a round of ``round_seconds``, a
+host may be fetched ``floor(round_seconds / crawl_delay)`` times (≥1).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+ROBOTS_DISALLOW = ("/private",)
+CRAWL_DELAYS = (1.0, 2.0, 5.0)  # cycled per host index
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    """Deterministic synthetic-web topology (seeded)."""
+
+    n_hosts: int = 3
+    lists_per_host: int = 2
+    pages_per_list: int = 4
+    details_per_page: int = 8
+    dup_frac: float = 0.8  # detail-id modulus fraction → ~20% duplicate links
+    fail_pct: int = 5  # % of detail fetches that deterministically fail (C7)
+    seed: int = 42
+
+    def __post_init__(self) -> None:
+        if self.n_hosts < 1 or self.lists_per_host < 1:
+            raise ValueError("n_hosts and lists_per_host must be >= 1")
+        if not (0.0 < self.dup_frac <= 1.0):
+            raise ValueError("dup_frac in (0, 1]")
+        if not (0 <= self.fail_pct < 100):
+            raise ValueError("fail_pct in [0, 100)")
+
+    @property
+    def details_per_host(self) -> int:
+        """Distinct detail ids per host (duplicate links collapse onto these)."""
+        total = self.lists_per_host * self.pages_per_list * self.details_per_page
+        return max(1, int(total * self.dup_frac))
+
+    def host(self, i: int) -> str:
+        return f"h{i:02d}.example.com"
+
+    def strategy(self, i: int) -> str:
+        """Alternate the reference's two pagination strategies
+        (/root/reference/internal/usecase/crawler.go:216-228)."""
+        return "next_link" if i % 2 == 0 else "total_count"
+
+    def crawl_delay(self, i: int) -> float:
+        return CRAWL_DELAYS[i % len(CRAWL_DELAYS)]
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Engine run parameters (validated eagerly, crawler_config.go style)."""
+
+    round_seconds: float = 60.0
+    max_rounds: int = 64
+    per_page: int = 8  # items per list page for total_count math (B5)
+    bloom_shards: int = 8
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_hashes: int = 5
+    host_salt_buckets: int = 4  # skew: hot-host salting fan-out (F2/§4.2)
+    disallow: tuple[str, ...] = field(default=ROBOTS_DISALLOW)
+
+    def __post_init__(self) -> None:
+        if self.round_seconds <= 0:
+            raise ValueError("round_seconds must be > 0")
+        if self.max_rounds < 1:
+            raise ValueError("max_rounds must be >= 1")
+        if self.bloom_shards < 1 or self.bloom_hashes < 1:
+            raise ValueError("bloom params must be >= 1")
+
+    def budget(self, crawl_delay: float) -> int:
+        """Fetches allowed for a host per round — floor semantics, min 1.
+
+        Defined once; the simulator and the engine's window filter both
+        call this (SURVEY.md §7 'politeness budget exactness')."""
+        return max(1, math.floor(self.round_seconds / crawl_delay))

@@ -1,0 +1,500 @@
+"""The crawl engine: one DataFrame iteration per round (north rule core).
+
+Re-expresses the reference's generate+execute loops
+(/root/reference/internal/usecase/crawler.go:79-114, 606-699) as the
+per-round DAG of SURVEY.md §3.2/§4:
+
+    pending ⟵ frontier (merge-on-read status)
+    → broadcast-join robots (budget)
+    → salted two-phase per-host top-k (politeness dequeue, F2)
+    → shuffle-join corpus on url_hash (the "fetch", A9; AQE skew-aware)
+    → decode_verify mapInPandas (payload invariant, E18 — kernel #3)
+    → posexplode outlinks + next-link + total-count pagination (B4-B7)
+    → canonicalize kernel (B2+E4 — kernel #1)
+    → first-writer-wins batch collapse (D3) → Bloom prefilter (kernel #2)
+    → exact left_anti vs frontier (D1) → append PENDING, flip statuses
+    → metrics row; atomic round commit (store mode)
+
+Exactly three Python kernels run per round, all Arrow-batched; every
+other operator is native Catalyst (codegen'd regex/when/window/join).
+
+Determinism: the dequeue order and discovery order derive ONLY from
+data — ``(depth, seq_path)`` where seq_path is assigned from
+(seed_idx, link_idx) at discovery (SURVEY.md §4.4). Task retries and
+partition shuffles cannot change the trace.
+
+Skew (§4.2): the per-host politeness window would hot-spot on power-law
+hosts, so the top-k is two-phase — rank within (host, salt) keeping
+≤ budget per salt bucket (local prune, bounds any partition to
+salt_buckets × budget rows), then rank the survivors within host. Same
+result set as a single global window, bounded partitions at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_crawler_spark.crawl import codec
+from go_crawler_spark.crawl.bloom import BloomShards
+from go_crawler_spark.crawl.canonicalize import canon_url, canonicalize_batch
+from go_crawler_spark.crawl.config import CrawlConfig, CorpusSpec
+from go_crawler_spark.crawl.corpus import seeds as corpus_seeds
+from go_crawler_spark.crawl.store import SnapshotStore
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("seq_path", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),  # birth round (lineage)
+        T.StructField("priority", T.DoubleType(), False),
+    ]
+)
+
+_CANON_OUT = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq_path", T.StringType()),
+    ]
+)
+
+_VERIFY_OUT = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("pixels_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("caption_ok", T.BooleanType()),
+        T.StructField("phash_dist", T.IntegerType()),
+    ]
+)
+
+
+def _decode_verify(batches):
+    """Kernel #3: decode payload, verify vs regenerated ground truth.
+
+    PSNR≥40 dB for lossy fmt, bit-exact for png; caption equality;
+    phash hamming distance (input_hint invariant)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "url_hash", "url", "host", "depth", "image_id", "w", "h", "fmt",
+            "caption", "phash", "decode_ok", "pixels_ok", "psnr_db",
+            "caption_ok", "phash_dist",
+        )}
+        for row in pdf.itertuples(index=False):
+            decode_ok, pixels_ok, caption_ok = False, False, False
+            psnr_db, phash_dist = 0.0, 64
+            try:
+                decoded, fmt = codec.decode(row.bytes)
+                decode_ok = True
+                truth = codec.truth_pixels(row.image_id)
+                p = codec.psnr(decoded, truth)
+                psnr_db = min(float(p), 99.0)
+                pixels_ok = bool(
+                    np.array_equal(decoded, truth) if fmt == "png" else p >= 40.0
+                )
+                caption_ok = row.caption == codec.truth_caption(row.image_id)
+                d = codec.phash64(decoded) ^ row.phash
+                phash_dist = bin(d & ((1 << 64) - 1)).count("1")
+            except Exception:  # noqa: BLE001 — malformed payload → not ok
+                pass
+            for k in ("url_hash", "url", "host", "depth", "image_id", "w", "h",
+                      "fmt", "caption", "phash"):
+                out[k].append(getattr(row, k))
+            out["decode_ok"].append(decode_ok)
+            out["pixels_ok"].append(pixels_ok)
+            out["psnr_db"].append(psnr_db)
+            out["caption_ok"].append(caption_ok)
+            out["phash_dist"].append(phash_dist)
+        yield pd.DataFrame(out)
+
+
+@dataclass
+class RoundStats:
+    round: int
+    dequeued: int
+    success: int
+    failed: int
+    robots_skipped: int
+    dedup_skipped: int
+    enqueued: int
+
+
+@dataclass
+class CrawlResult:
+    frontier: DataFrame
+    trace: DataFrame  # dequeue log: (round, pos-orderable), the crawl order
+    pages: DataFrame | None
+    metrics: list[RoundStats] = field(default_factory=list)
+
+    def ordered_trace(self) -> DataFrame:
+        w = Window.orderBy("round", "depth", "seq_path")
+        return self.trace.withColumn("pos", F.row_number().over(w) - 1)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        corpus_df: DataFrame,
+        robots_df: DataFrame,
+        store: SnapshotStore | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.robots = robots_df
+        self.store = store
+        # budget per host, computed once (floor semantics, CrawlConfig.budget)
+        self.budgets = F.broadcast(
+            robots_df.select(
+                "host",
+                "disallow",
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(cfg.round_seconds) / F.col("crawl_delay")),
+                ).cast("int").alias("budget"),
+            )
+        )
+        # fetch side: corpus projected to what the round needs; `bytes`
+        # stays prunable until the verify stage (C8 — the Spark analog of
+        # the reference's browser resource blocking)
+        self.corpus = corpus_df
+
+    # -- frontier bootstrap -------------------------------------------
+
+    def frontier_from_seeds(self, seed_list: list[tuple[int, str]]) -> DataFrame:
+        from go_crawler_spark.crawl.canonicalize import host_of, xxhash64_py
+
+        rows = []
+        for idx, url in seed_list:
+            cu = canon_url(None, url)
+            if cu is None:  # B9 validity gate
+                continue
+            rows.append(
+                (xxhash64_py(cu), cu, host_of(cu), "PENDING", 0, f"{idx:04d}", 0, 0.0)
+            )
+        return self.spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
+
+    # -- one round -----------------------------------------------------
+
+    def _dequeue(self, pending: DataFrame) -> DataFrame:
+        salted = pending.join(self.budgets.drop("disallow"), "host", "left").withColumn(
+            "budget", F.coalesce("budget", F.lit(1))
+        ).withColumn(
+            "salt", F.pmod(F.xxhash64("url_hash"), F.lit(self.cfg.host_salt_buckets))
+        )
+        w1 = Window.partitionBy("host", "salt").orderBy("depth", "seq_path")
+        w2 = Window.partitionBy("host").orderBy("depth", "seq_path")
+        return (
+            salted.withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= F.col("budget"))  # local prune per salt
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= F.col("budget"))
+            .drop("rn1", "rn", "salt", "budget")
+        )
+
+    def _discover(self, fetched_lists: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(candidates pre-dedupe, robots-rejected) from fetched list pages.
+
+        Candidate enumeration order == the reference's: outlinks by
+        position (crawler.go:264), then next-link (crawler.go:315-330)
+        or total-count pages (crawler.go:346-401, ceil at line 371)."""
+        base = fetched_lists.select(
+            F.col("url").alias("base_url"), "depth", "seq_path",
+            "outlinks", "next_url", "total_count",
+        )
+        outl = base.select(
+            "base_url", "depth", "seq_path",
+            F.posexplode("outlinks").alias("link_idx", "href"),
+        )
+        nxt = base.filter(F.col("next_url").isNotNull()).select(
+            "base_url", "depth", "seq_path",
+            F.size("outlinks").alias("link_idx"),
+            F.col("next_url").alias("href"),
+        )
+        pag = (
+            base.filter(F.col("total_count").isNotNull())
+            .withColumn(
+                "page_count",
+                F.ceil(F.col("total_count") / F.lit(self.cfg.per_page)).cast("int"),
+            )
+            .filter(F.col("page_count") >= 2)
+            .select(
+                "base_url", "depth", "seq_path", "outlinks",
+                F.explode(F.sequence(F.lit(2), F.col("page_count"))).alias("page_no"),
+            )
+            .select(
+                "base_url", "depth", "seq_path",
+                (F.size("outlinks") + F.col("page_no") - 2).alias("link_idx"),
+                F.concat(
+                    F.regexp_replace("base_url", r"\?p=\d+$", ""),
+                    F.lit("?p="),
+                    F.col("page_no"),
+                ).alias("href"),  # buildPaginatedURL query-mode (B7)
+            )
+        )
+        cands = outl.unionByName(nxt).unionByName(pag)
+
+        # kernel #1: canonicalize (resolve + NFKC + validity gate)
+        def canon(batches):
+            for pdf in batches:
+                res = canonicalize_batch(pdf["base_url"], pdf["href"])
+                seq = (
+                    pdf["seq_path"] + "." + pdf["link_idx"].astype(int).map("{:04d}".format)
+                )
+                yield pd.DataFrame(
+                    {"url": res, "depth": pdf["depth"] + 1, "seq_path": seq}
+                )[res.notna()]
+
+        canoned = cands.mapInPandas(canon, schema=_CANON_OUT).withColumn(
+            "host", F.parse_url("url", F.lit("HOST"))
+        ).withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")))
+
+        joined = canoned.join(self.budgets.drop("budget"), "host", "left")
+        is_disallowed = F.when(
+            F.col("disallow").isNotNull(),
+            F.exists("disallow", lambda d: F.col("path").startswith(d)),
+        ).otherwise(F.lit(False))
+        return joined.withColumn("robots_reject", is_disallowed).drop(
+            "disallow", "path"
+        )
+
+    def run_round(
+        self,
+        frontier: DataFrame,
+        round_no: int,
+        bloom: BloomShards | None,
+        with_payload_verify: bool = True,
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None, RoundStats]:
+        """Returns (new_frontier lazy, trace, pages, stats).
+
+        Action discipline (the driver loop is the engine's only
+        iterative part, so per-round job count is the constant factor
+        that survives to 10^10 scale): exactly four materializing
+        actions per round — trace status counts, robots/candidate
+        counts, fresh count, and pages count — everything downstream
+        reuses those persisted frames."""
+        dequeued = self._dequeue(frontier.filter(F.col("status") == "PENDING"))
+
+        fetched = (
+            dequeued.select("url_hash", "url", "host", "depth", "seq_path")
+            .join(
+                self.corpus.select(
+                    F.col("url_hash").alias("c_hash"), "kind", "next_url",
+                    "total_count", "outlinks", "fetch_ok", "image_id",
+                    "bytes", "w", "h", "fmt", "caption", "phash",
+                ),
+                F.col("url_hash") == F.col("c_hash"),
+                "left",
+            )
+            .drop("c_hash")
+            .withColumn("ok", F.coalesce(F.col("fetch_ok"), F.lit(False)))
+            .persist()
+        )
+
+        trace = fetched.select(
+            F.lit(round_no).alias("round"), "depth", "seq_path", "url_hash",
+            "url", "host",
+            F.when(F.col("ok"), "SUCCESS").otherwise("FAILED").alias("status"),
+        ).persist()
+        status_counts = {
+            r["status"]: r["count"]
+            for r in trace.groupBy("status").count().collect()  # action 1
+        }
+        n_dequeued = sum(status_counts.values())
+        n_ok = int(status_counts.get("SUCCESS", 0))
+
+        pages = None
+        if with_payload_verify:
+            payload = fetched.filter(
+                F.col("ok") & (F.col("kind") == "detail") & F.col("bytes").isNotNull()
+            ).select(
+                "url_hash", "url", "host", "depth", "image_id", "bytes",
+                "w", "h", "fmt", "caption", "phash",
+            )
+            pages = payload.mapInPandas(_decode_verify, schema=_VERIFY_OUT).withColumn(
+                "round", F.lit(round_no)
+            ).persist()
+            pages.count()  # action 2 — materialize before fetched unpersists
+
+        flagged = self._discover(
+            fetched.filter(F.col("ok") & (F.col("kind") == "list"))
+        ).persist()
+        reject_counts = {
+            bool(r["robots_reject"]): r["count"]
+            for r in flagged.groupBy("robots_reject").count().collect()  # action 3
+        }
+        n_candidates = int(reject_counts.get(False, 0))
+        n_robots = int(reject_counts.get(True, 0))
+        allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
+
+        # D3: first-writer-wins within the batch (min over the BFS order key)
+        collapsed = (
+            allowed.withColumn("url_hash", F.xxhash64("url"))
+            .groupBy("url_hash")
+            .agg(F.min(F.struct("depth", "seq_path", "url", "host")).alias("s"))
+            .select("url_hash", "s.depth", "s.seq_path", "s.url", "s.host")
+        )
+
+        # D1 tier 1: Bloom prefilter (kernel #2) — negatives skip the join
+        if bloom is not None:
+            bc = self.spark.sparkContext.broadcast(bloom)
+
+            def probe(batches):
+                for pdf in batches:
+                    yield pdf.assign(maybe_seen=bc.value.maybe_contains(pdf["url_hash"]))
+
+            probed = collapsed.mapInPandas(
+                probe,
+                schema=T.StructType(
+                    collapsed.schema.fields
+                    + [T.StructField("maybe_seen", T.BooleanType())]
+                ),
+            )
+            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        else:
+            definitely_new = None
+            maybe = collapsed
+
+        # D1 tier 2: exact anti-join backstop (reference is exact, §1.4)
+        survivors = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")
+        fresh = (
+            survivors if definitely_new is None
+            else definitely_new.unionByName(survivors)
+        ).select(
+            "url_hash", "url", "host", F.lit("PENDING").alias("status"),
+            "depth", "seq_path", F.lit(round_no + 1).alias("round"),
+            F.lit(0.0).alias("priority"),
+        ).persist()
+        n_fresh = fresh.count()  # action 4
+
+        # status flips for dequeued rows (MERGE-on-read; store's status_log)
+        flips = trace.select("url_hash", F.col("status").alias("new_status"))
+        new_frontier = (
+            frontier.join(flips, "url_hash", "left")
+            .withColumn("status", F.coalesce("new_status", "status"))
+            .drop("new_status")
+            .unionByName(fresh)
+        )
+
+        stats = RoundStats(
+            round=round_no,
+            dequeued=n_dequeued,
+            success=n_ok,
+            failed=n_dequeued - n_ok,
+            robots_skipped=n_robots,
+            dedup_skipped=n_candidates - n_fresh,
+            enqueued=int(n_fresh),
+        )
+        fetched.unpersist()
+        flagged.unpersist()
+        return new_frontier, trace, pages, stats
+
+    # -- full run ------------------------------------------------------
+
+    def run(
+        self,
+        seed_list: list[tuple[int, str]] | None = None,
+        spec: CorpusSpec | None = None,
+        use_bloom: bool = True,
+        with_payload_verify: bool = True,
+        resume: bool = False,
+    ) -> CrawlResult:
+        spark = self.spark
+        cfg = self.cfg
+
+        start_round = 0
+        if resume and self.store is not None and self.store.latest_step() >= 0:
+            frontier = self.store.current_frontier()
+            start_round = self.store.latest_step()  # step k+1 ⇒ rounds 0..k done
+        else:
+            if seed_list is None:
+                assert spec is not None, "need seeds or a corpus spec"
+                seed_list = corpus_seeds(spec)
+            frontier = self.frontier_from_seeds(seed_list)
+            if self.store is not None:
+                self.store.append("frontier", frontier, 0)
+                self.store.commit_step(0)
+
+        frontier = frontier.localCheckpoint(eager=True)
+        # pending count is maintained arithmetically across rounds —
+        # no per-round full-frontier scan just to decide termination
+        pending = frontier.filter(F.col("status") == "PENDING").count()
+        bloom = (
+            BloomShards.build(frontier.select("url_hash"), cfg) if use_bloom else None
+        )
+
+        traces: list[DataFrame] = []
+        pages_parts: list[DataFrame] = []
+        metrics: list[RoundStats] = []
+
+        for k in range(start_round, start_round + cfg.max_rounds):
+            if pending == 0:
+                break
+            new_frontier, trace, pages, stats = self.run_round(
+                frontier, k, bloom, with_payload_verify
+            )
+            new_frontier = new_frontier.localCheckpoint(eager=True)
+            if pages is not None:
+                pages_parts.append(pages)
+            if self.store is not None:
+                fresh = new_frontier.filter(F.col("round") == k + 1)
+                self.store.append("frontier", fresh, k + 1)
+                self.store.append("status_log", trace, k + 1)
+                if pages is not None:
+                    self.store.append("pages", pages, k + 1)
+                self.store.append(
+                    "metrics", spark.createDataFrame([vars(stats)]), k + 1
+                )
+                self.store.commit_step(k + 1)
+            if bloom is not None and stats.enqueued > 0:
+                delta = BloomShards.build(
+                    new_frontier.filter(F.col("round") == k + 1).select("url_hash"),
+                    cfg,
+                )
+                bloom = bloom.union(delta)
+            traces.append(trace)
+            metrics.append(stats)
+            frontier = new_frontier
+            pending += stats.enqueued - stats.dequeued
+
+        if traces:
+            all_trace = traces[0]
+            for t in traces[1:]:
+                all_trace = all_trace.unionByName(t)
+        else:
+            all_trace = spark.createDataFrame(
+                [],
+                schema="round int, depth int, seq_path string, url_hash long, "
+                "url string, host string, status string",
+            )
+        all_pages = None
+        if pages_parts:
+            all_pages = pages_parts[0]
+            for p in pages_parts[1:]:
+                all_pages = all_pages.unionByName(p)
+        return CrawlResult(
+            frontier=frontier, trace=all_trace, pages=all_pages, metrics=metrics
+        )

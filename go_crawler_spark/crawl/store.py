@@ -1,0 +1,111 @@
+"""Snapshot table store: atomic per-round commits + resume (SURVEY.md §2 F6).
+
+The north rule calls for Iceberg tables; the Iceberg runtime jar is not
+in this container, so this is a minimal merge-on-read snapshot store
+with the same two properties the engine needs, implemented on plain
+parquet:
+
+- **atomic round commit**: each round appends partition directories
+  ``{table}/round={k}`` for its tables, then writes a commit marker
+  ``_commits/{k}``. Readers only trust rounds with markers, so a crash
+  mid-round (the reference's delete-then-save gap,
+  /root/reference/internal/usecase/crawler.go:681-696, which LOSES
+  jobs) leaves at worst an invisible orphan directory.
+- **resume**: ``latest_round()`` = max committed marker; the engine
+  restarts from there reading only committed partitions.
+
+On a real cluster, swap ``append``/``read`` for Iceberg ``MERGE INTO``
+/ snapshot reads — the engine only touches this interface. Frontier
+status is merge-on-read: discoveries are append-only; status flips live
+in ``status_log`` and are resolved at read time (store-side analog of
+Iceberg MoR deletes), so no round ever rewrites the 10^10-row frontier.
+
+Tables: frontier (discoveries), status_log, pages (fetched payload
+metadata + verify results), metrics (per-round counters). ``round`` is
+the lineage/partition column on every row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("frontier", "status_log", "pages", "metrics")
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        os.makedirs(os.path.join(base, "_commits"), exist_ok=True)
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def append(self, table: str, df: DataFrame, step: int) -> None:
+        """Write a table's rows for commit unit ``step``.
+
+        ``step`` is the atomic write unit: step 0 = frontier bootstrap,
+        step k+1 = everything round k produced. It is deliberately
+        distinct from the per-row ``round`` lineage column (a round's
+        discoveries have round=k+1 but are written at step k+1 together
+        with round k's status flips — one commit covers the whole
+        round, closing the reference's lost-job window)."""
+        if table not in TABLES:
+            raise KeyError(table)
+        path = os.path.join(self._table_dir(table), f"step={step}")
+        df.write.mode("overwrite").parquet(path)
+
+    def commit_step(self, step: int) -> None:
+        marker = os.path.join(self.base, "_commits", str(step))
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("ok")
+        os.replace(tmp, marker)  # atomic rename = the commit point
+
+    def latest_step(self) -> int:
+        """Highest committed step, or -1 if none."""
+        commits = os.listdir(os.path.join(self.base, "_commits"))
+        steps = [int(c) for c in commits if c.isdigit()]
+        return max(steps, default=-1)
+
+    def read(self, table: str) -> DataFrame | None:
+        """All committed rows of a table (partition-pruned by step)."""
+        latest = self.latest_step()
+        base = self._table_dir(table)
+        if latest < 0 or not os.path.isdir(base):
+            return None
+        dirs = [
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("step=") and int(d.split("=")[1]) <= latest
+        ]
+        if not dirs:
+            return None
+        # drop the partition-discovery column: `step` is commit plumbing,
+        # not part of any table's logical schema
+        return self.spark.read.option("basePath", base).parquet(*dirs).drop("step")
+
+    def current_frontier(self) -> DataFrame | None:
+        """Merge-on-read frontier view: discoveries ⟕ latest status flip.
+
+        Iceberg analog: MERGE INTO frontier USING status_log. One
+        shuffle on url_hash; at scale both sides are bucketed on
+        url_hash so this co-locates."""
+        frontier = self.read("frontier")
+        if frontier is None:
+            return None
+        status = self.read("status_log")
+        if status is None:
+            return frontier
+        latest = status.groupBy("url_hash").agg(
+            F.max_by("status", "round").alias("new_status")
+        )
+        return (
+            frontier.drop("status")
+            .join(latest, "url_hash", "left")
+            .withColumn("status", F.coalesce("new_status", F.lit("PENDING")))
+            .drop("new_status")
+        )

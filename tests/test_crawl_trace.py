@@ -1,0 +1,104 @@
+"""Golden-trace equivalence: Spark engine vs pure-Python simulator.
+
+The correctness gate of the north rule: same URL-seen set + same crawl
+order as the reference trace given the same seed list + politeness
+budget (BASELINE.json), plus the per-row payload invariant.
+"""
+
+import pytest
+
+from go_crawler_spark.crawl import corpus
+from go_crawler_spark.crawl.config import CorpusSpec, CrawlConfig
+from go_crawler_spark.crawl.engine import CrawlEngine
+from go_crawler_spark.crawl.simulator import golden_frames, simulate
+
+SPEC = CorpusSpec(n_hosts=3, lists_per_host=2, pages_per_list=4, details_per_page=8)
+CFG = CrawlConfig(round_seconds=45.0, per_page=8, max_rounds=40)
+# round_seconds=45 with delays (1,2,5) → budgets (45,22,9): politeness
+# actually defers work across rounds (7 rounds) without making the
+# Spark loop pay 28 rounds of fixed job overhead in CI.
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return simulate(SPEC, CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark):
+    eng = CrawlEngine(
+        spark,
+        CFG,
+        corpus.build_corpus(spark, SPEC),
+        corpus.build_robots(spark, SPEC, CFG.disallow),
+    )
+    return eng.run(spec=SPEC)
+
+
+def test_simulator_nontrivial(golden):
+    assert golden.rounds > 3  # politeness defers → multiple rounds
+    assert len(golden.seen) > 50
+    assert any(t[5] == "FAILED" for t in golden.trace)  # fail path exercised
+    assert sum(m["robots_skipped"] for m in golden.metrics) > 0
+    assert sum(m["dedup_skipped"] for m in golden.metrics) > 0
+
+
+def test_crawl_order_matches_golden(engine_result, golden):
+    rows = engine_result.ordered_trace().select(
+        "pos", "round", "url", "depth", "host", "status"
+    ).collect()
+    expect = [
+        (pos, rnd, url, depth, host, status)
+        for pos, (rnd, depth, _sp, url, host, status) in enumerate(golden.trace)
+    ]
+    got = [(r["pos"], r["round"], r["url"], r["depth"], r["host"], r["status"])
+           for r in rows]
+    assert got == expect
+
+
+def test_url_seen_set_matches_golden(engine_result, golden):
+    got = {r["url"] for r in engine_result.frontier.select("url").collect()}
+    assert got == golden.seen
+
+
+def test_final_statuses_match(engine_result, golden):
+    got = {
+        r["url"]: r["status"]
+        for r in engine_result.frontier.select("url", "status").collect()
+    }
+    for url, status in golden.final_status.items():
+        assert got[url] == status, url
+    # everything never dequeued stays PENDING in both
+    leftover = {u for u, s in got.items() if s == "PENDING"}
+    assert leftover == golden.seen - set(golden.final_status)
+    assert not leftover  # this config drains fully
+
+
+def test_round_metrics_match(engine_result, golden):
+    got = [vars(m) for m in engine_result.metrics]
+    assert got == golden.metrics
+
+
+def test_payload_invariant(engine_result):
+    pages = engine_result.pages
+    assert pages is not None
+    rows = pages.collect()
+    assert len(rows) > 30
+    for r in rows:
+        assert r["decode_ok"], r["url"]
+        assert r["pixels_ok"], r["url"]
+        assert r["caption_ok"], r["url"]
+        assert r["psnr_db"] >= 40.0
+        if r["fmt"] == "png":  # lossless → phash bit-exact; lossy phash is
+            assert r["phash_dist"] == 0  # advisory metadata (avg-hash bits
+            # near the block-mean threshold legitimately flip under
+            # quantization of noise-like images)
+    fmts = {r["fmt"] for r in rows}
+    assert fmts == {"png", "jpeg"}  # both codec paths exercised
+
+
+def test_golden_frames_shapes(golden):
+    order, seen = golden_frames(golden)
+    assert order[0]["pos"] == 0
+    assert len(seen) == len(golden.seen)
+    assert all(isinstance(r["url_hash"], int) for r in seen[:5])

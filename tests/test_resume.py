@@ -1,0 +1,81 @@
+"""Checkpoint/resume (SURVEY.md §2 F6): kill after round k, resume from
+the snapshot store, end state identical to an uninterrupted run.
+
+This is the fix for the reference's non-transactional status flip
+(/root/reference/internal/usecase/crawler.go:681-696): a crash between
+delete-pending and save-success loses the job there; here a round is
+invisible until its commit marker lands.
+"""
+
+import pytest
+
+from go_crawler_spark.crawl import corpus
+from go_crawler_spark.crawl.config import CorpusSpec, CrawlConfig
+from go_crawler_spark.crawl.engine import CrawlEngine
+from go_crawler_spark.crawl.store import SnapshotStore
+
+SPEC = CorpusSpec(n_hosts=2, lists_per_host=1, pages_per_list=3, details_per_page=6)
+CFG = CrawlConfig(round_seconds=10.0, per_page=6, max_rounds=40)
+
+
+def _snapshot(df):
+    return {
+        (r["url_hash"], r["url"], r["status"], r["depth"], r["seq_path"])
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return corpus.build_corpus(spark, SPEC).localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def robots_df(spark):
+    return corpus.build_robots(spark, SPEC, CFG.disallow)
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path_factory, corpus_df, robots_df):
+    # uninterrupted reference run (no store)
+    full = CrawlEngine(spark, CFG, corpus_df, robots_df).run(
+        spec=SPEC, with_payload_verify=False
+    )
+    want = _snapshot(full.frontier)
+    total_rounds = len(full.metrics)
+    assert total_rounds >= 4
+
+    # interrupted run: stop after 2 rounds, then resume from the store
+    base = str(tmp_path_factory.mktemp("crawlstore"))
+    store1 = SnapshotStore(spark, base)
+    cfg_partial = CrawlConfig(
+        round_seconds=CFG.round_seconds, per_page=CFG.per_page, max_rounds=2
+    )
+    CrawlEngine(spark, cfg_partial, corpus_df, robots_df, store=store1).run(
+        spec=SPEC, with_payload_verify=False
+    )
+    assert store1.latest_step() == 2  # bootstrap + rounds 0,1 committed
+
+    store2 = SnapshotStore(spark, base)
+    resumed = CrawlEngine(spark, CFG, corpus_df, robots_df, store=store2).run(
+        spec=SPEC, with_payload_verify=False, resume=True
+    )
+    got = _snapshot(store2.current_frontier())
+    assert got == want
+    assert _snapshot(resumed.frontier) == want
+    # lineage: resumed run continued from round 2, not from scratch
+    assert resumed.metrics[0].round == 2
+    assert store2.latest_step() == total_rounds
+
+
+def test_uncommitted_round_invisible(spark, tmp_path_factory, corpus_df, robots_df):
+    base = str(tmp_path_factory.mktemp("crawlstore2"))
+    store = SnapshotStore(spark, base)
+    eng = CrawlEngine(spark, CFG, corpus_df, robots_df, store=store)
+    frontier = eng.frontier_from_seeds(corpus.seeds(SPEC))
+    # simulate a crash mid-step: data written, marker never lands
+    store.append("frontier", frontier, 0)
+    store.append("status_log", frontier.limit(1).selectExpr(
+        "0 as round", "depth", "seq_path", "url_hash", "url", "host",
+        "'SUCCESS' as status"), 5)
+    assert store.latest_step() == -1
+    assert store.read("frontier") is None  # nothing committed → nothing visible
