@@ -1,0 +1,133 @@
+"""Round benchmark: headline registry queries + crawl-frontier throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec},
+   "sf": ..., "crawl": {...}}
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] core count (default 32)
+  SPARK_GRAFT_BENCH_SCALE  crawl corpus scale knob (default 1.0)
+
+Queries are forced end-to-end with the noop sink (full compute, no
+collect-to-driver skew). The crawl section runs the frontier engine on
+a frontier-shaped synthetic corpus (no image bytes — the 10^10 logical
+frontier only materializes payloads for fetched rows) and reports the
+BASELINE.json headline: frontier URLs scheduled+deduped per second.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_registry_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from go_crawler_spark.registry import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def run_crawl_e2e(spark, scale: float) -> dict:
+    """End-to-end BFS over a payload-free corpus (depth-bounded, so the
+    per-round driver overhead shows up here — the kernel bench below is
+    the scale-honest number)."""
+    from go_crawler_spark.crawl import corpus
+    from go_crawler_spark.crawl.config import CorpusSpec, CrawlConfig
+    from go_crawler_spark.crawl.engine import CrawlEngine
+
+    spec = CorpusSpec(
+        n_hosts=max(4, int(24 * scale)),
+        lists_per_host=4,
+        pages_per_list=6,
+        details_per_page=max(8, int(96 * scale)),
+        payloads=False,
+    )
+    cfg = CrawlConfig(round_seconds=36000.0, per_page=spec.details_per_page,
+                      max_rounds=8, bloom_shards=16)
+    corpus_df = corpus.build_corpus(spark, spec).localCheckpoint(eager=True)
+    n_corpus = corpus_df.count()
+    robots_df = corpus.build_robots(spark, spec, cfg.disallow)
+
+    eng = CrawlEngine(spark, cfg, corpus_df, robots_df)
+    t0 = time.time()
+    res = eng.run(spec=spec, with_payload_verify=False)
+    elapsed = time.time() - t0
+
+    scheduled = sum(m.dequeued for m in res.metrics)
+    deduped = sum(m.dequeued + m.enqueued + m.dedup_skipped for m in res.metrics)
+    return {
+        "corpus_urls": int(n_corpus),
+        "rounds": len(res.metrics),
+        "scheduled_urls": int(scheduled),
+        "frontier_urls_processed": int(deduped),
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(deduped / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = float(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1.0"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from go_crawler_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+
+    headline = [
+        "q1_pricing_summary",
+        "broadcast_dim_join",
+        "dedupe_anti_join",
+        "politeness_topk_per_host",
+        "sessionize",
+        "minhash_lsh_candidates",
+        "simhash",
+        "ann_cosine_topk",
+        "quality_score",
+        "fingerprint",
+    ]
+    t_all = time.time()
+    queries = run_registry_queries(spark, sf_dir, headline)
+
+    from go_crawler_spark.crawl.kernelbench import run_kernel
+
+    kernel = run_kernel(
+        spark, n_rows=int(2_000_000 * scale), n_hosts=500, fanout=6
+    )
+    crawl = run_crawl_e2e(spark, min(scale, 0.25))
+    total = round(time.time() - t_all, 2)
+
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "frontier_urls_scheduled_deduped_per_sec",
+                "value": kernel["urls_per_sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "total_sec": total,
+                "crawl_round_kernel": kernel,
+                "crawl_e2e_bfs": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ verified by a parity test in tests/test_canonicalize.py.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
@@ -134,13 +135,36 @@ def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
 
 # --- vectorized kernel (engine side) -----------------------------------
 
+# fast-path guard: printable-ASCII root-relative href, no fragment, no
+# dot segments, not protocol-relative — for these, resolution against a
+# canonical base is pure string concat and NFKC is the identity
+_SIMPLE_HREF = re.compile(r"^/(?!/)(?!.*\.\.)(?!.*/\./)(?!.*/\.$)(?!.*#)[!-~]+$")
+_CANON_BASE = re.compile(r"^(https?://[^/?#\s]+)/")
+
 
 def canonicalize_batch(base: pd.Series, href: pd.Series) -> pd.Series:
     """Pandas-batch canonicalization: the engine's kernel #1.
 
     Registered via mapInPandas in engine.py; operates on Arrow batches,
     never row-at-a-time through Spark's Python-UDF row path.
+
+    Two tiers: a vectorized string-concat fast path for simple
+    root-relative ASCII hrefs under an already-canonical base (the
+    overwhelming majority of links a crawl discovers — frontier URLs are
+    canonical by induction), and the full ``canon_url`` fallback for
+    everything else (absolute, dot-segment, fragment-bearing, non-ASCII,
+    odd bases). A parity test asserts both tiers agree on the fast-path
+    domain.
     """
-    return pd.Series(
-        [canon_url(b, u) for b, u in zip(base, href)], index=href.index, dtype=object
-    )
+    href_ok = href.str.match(_SIMPLE_HREF, na=False)
+    prefix = base.str.extract(_CANON_BASE, expand=False)
+    fast = href_ok & prefix.notna()
+    out = pd.Series(index=href.index, dtype=object)
+    if fast.any():
+        out[fast] = prefix[fast] + href[fast]
+    slow = ~fast
+    if slow.any():
+        out[slow] = [
+            canon_url(b, u) for b, u in zip(base[slow], href[slow])
+        ]
+    return out

@@ -34,6 +34,9 @@ class CorpusSpec:
     dup_frac: float = 0.8  # detail-id modulus fraction → ~20% duplicate links
     fail_pct: int = 5  # % of detail fetches that deterministically fail (C7)
     seed: int = 42
+    payloads: bool = True  # False → frontier-shaped corpus without image
+    # bytes (bench mode: the 10^10 logical frontier materializes payloads
+    # only for fetched rows, SURVEY.md §7 M6)
 
     def __post_init__(self) -> None:
         if self.n_hosts < 1 or self.lists_per_host < 1:

@@ -140,7 +140,19 @@ def _list_page_row(spec: CorpusSpec, i: int, lst: int, page: int) -> dict:
 def _detail_page_row(spec: CorpusSpec, i: int, did: int) -> dict:
     url = detail_url(spec, i, did)
     image_id = f"{spec.host(i)}-job-{did}"
-    payload = codec.payload_for(image_id)
+    if spec.payloads:
+        payload = codec.payload_for(image_id)
+    else:  # frontier-shaped bench corpus: typed metadata, no bytes
+        w, h = codec.truth_dims(image_id)
+        payload = {
+            "image_id": image_id,
+            "bytes": None,
+            "w": w,
+            "h": h,
+            "fmt": codec.truth_fmt(image_id),
+            "caption": codec.truth_caption(image_id),
+            "phash": None,
+        }
     fetch_ok = (xxhash64_py(url) % 100 + 100) % 100 >= spec.fail_pct
     return {
         "url": url,

@@ -254,18 +254,31 @@ class CrawlEngine:
                 ).alias("href"),  # buildPaginatedURL query-mode (B7)
             )
         )
-        cands = outl.unionByName(nxt).unionByName(pag)
+        # child order key + depth are computed JVM-side (codegen'd
+        # format_string) so the Python kernel only touches URL strings
+        cands = (
+            outl.unionByName(nxt)
+            .unionByName(pag)
+            .select(
+                "base_url",
+                "href",
+                (F.col("depth") + 1).alias("depth"),
+                F.format_string("%s.%04d", "seq_path", "link_idx").alias("seq_path"),
+            )
+        )
 
         # kernel #1: canonicalize (resolve + NFKC + validity gate)
         def canon(batches):
             for pdf in batches:
                 res = canonicalize_batch(pdf["base_url"], pdf["href"])
-                seq = (
-                    pdf["seq_path"] + "." + pdf["link_idx"].astype(int).map("{:04d}".format)
-                )
+                keep = res.notna()
                 yield pd.DataFrame(
-                    {"url": res, "depth": pdf["depth"] + 1, "seq_path": seq}
-                )[res.notna()]
+                    {
+                        "url": res[keep],
+                        "depth": pdf["depth"][keep],
+                        "seq_path": pdf["seq_path"][keep],
+                    }
+                )
 
         canoned = cands.mapInPandas(canon, schema=_CANON_OUT).withColumn(
             "host", F.parse_url("url", F.lit("HOST"))
@@ -278,6 +291,57 @@ class CrawlEngine:
         ).otherwise(F.lit(False))
         return joined.withColumn("robots_reject", is_disallowed).drop(
             "disallow", "path"
+        )
+
+    def dedupe_new(
+        self,
+        allowed: DataFrame,
+        frontier: DataFrame,
+        bloom: BloomShards | None,
+        round_no: int,
+    ) -> DataFrame:
+        """Candidates (url, host, depth, seq_path) → fresh PENDING rows.
+
+        D3 first-writer-wins collapse, then the two-tier seen check:
+        Bloom-negative rows skip the anti-join entirely (at 10^10 scale
+        the overwhelming majority of genuinely-new URLs), Bloom-positive
+        rows get the exact left_anti backstop (reference is exact, §1.4).
+        """
+        collapsed = (
+            allowed.withColumn("url_hash", F.xxhash64("url"))
+            .groupBy("url_hash")
+            .agg(F.min(F.struct("depth", "seq_path", "url", "host")).alias("s"))
+            .select("url_hash", "s.depth", "s.seq_path", "s.url", "s.host")
+        )
+
+        if bloom is not None:
+            bc = self.spark.sparkContext.broadcast(bloom)
+
+            def probe(batches):
+                for pdf in batches:
+                    yield pdf.assign(maybe_seen=bc.value.maybe_contains(pdf["url_hash"]))
+
+            probed = collapsed.mapInPandas(
+                probe,
+                schema=T.StructType(
+                    collapsed.schema.fields
+                    + [T.StructField("maybe_seen", T.BooleanType())]
+                ),
+            )
+            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        else:
+            definitely_new = None
+            maybe = collapsed
+
+        survivors = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")
+        return (
+            survivors if definitely_new is None
+            else definitely_new.unionByName(survivors)
+        ).select(
+            "url_hash", "url", "host", F.lit("PENDING").alias("status"),
+            "depth", "seq_path", F.lit(round_no + 1).alias("round"),
+            F.lit(0.0).alias("priority"),
         )
 
     def run_round(
@@ -349,45 +413,7 @@ class CrawlEngine:
         n_robots = int(reject_counts.get(True, 0))
         allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
 
-        # D3: first-writer-wins within the batch (min over the BFS order key)
-        collapsed = (
-            allowed.withColumn("url_hash", F.xxhash64("url"))
-            .groupBy("url_hash")
-            .agg(F.min(F.struct("depth", "seq_path", "url", "host")).alias("s"))
-            .select("url_hash", "s.depth", "s.seq_path", "s.url", "s.host")
-        )
-
-        # D1 tier 1: Bloom prefilter (kernel #2) — negatives skip the join
-        if bloom is not None:
-            bc = self.spark.sparkContext.broadcast(bloom)
-
-            def probe(batches):
-                for pdf in batches:
-                    yield pdf.assign(maybe_seen=bc.value.maybe_contains(pdf["url_hash"]))
-
-            probed = collapsed.mapInPandas(
-                probe,
-                schema=T.StructType(
-                    collapsed.schema.fields
-                    + [T.StructField("maybe_seen", T.BooleanType())]
-                ),
-            )
-            definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-        else:
-            definitely_new = None
-            maybe = collapsed
-
-        # D1 tier 2: exact anti-join backstop (reference is exact, §1.4)
-        survivors = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")
-        fresh = (
-            survivors if definitely_new is None
-            else definitely_new.unionByName(survivors)
-        ).select(
-            "url_hash", "url", "host", F.lit("PENDING").alias("status"),
-            "depth", "seq_path", F.lit(round_no + 1).alias("round"),
-            F.lit(0.0).alias("priority"),
-        ).persist()
+        fresh = self.dedupe_new(allowed, frontier, bloom, round_no).persist()
         n_fresh = fresh.count()  # action 4
 
         # status flips for dequeued rows (MERGE-on-read; store's status_log)

@@ -1,0 +1,130 @@
+"""Round-kernel benchmark: the per-round dataflow at frontier scale.
+
+The iterative BFS in engine.py is bounded by crawl depth; its per-round
+DAG is what must scale from N to 4N executors (BASELINE.json). This
+module runs ONE round of that DAG over an arithmetically-generated
+pending frontier of millions of rows — no corpus materialization, no
+image bytes (payloads only exist for fetched rows at 10^10 scale):
+
+  synthetic pending (skewed hosts) → politeness dequeue (salted window)
+  → fan-out discovery (relative hrefs) → canonicalize kernel →
+  first-writer collapse → Bloom probe → exact anti-join → fresh count
+
+Host skew is deterministic and power-law-ish (cubic transform of a
+uniform hash) so the salted two-phase top-k actually earns its keep.
+Child links overlap (~2× collision space) so dedupe does real work.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_crawler_spark.crawl.bloom import BloomShards
+from go_crawler_spark.crawl.config import CrawlConfig
+from go_crawler_spark.crawl.corpus import ROBOTS_SCHEMA
+from go_crawler_spark.crawl.engine import CrawlEngine
+
+
+def synthetic_pending(spark: SparkSession, n: int, n_hosts: int) -> DataFrame:
+    """Frontier-shaped pending rows, deterministic, skewed by host."""
+    u = (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 100_000.0)
+    host_id = F.least(
+        F.lit(n_hosts - 1), (F.lit(n_hosts) * F.pow(u, F.lit(3.0))).cast("int")
+    )
+    return (
+        spark.range(n)
+        .withColumn("host", F.format_string("h%04d.example.com", host_id))
+        .withColumn(
+            "url", F.format_string("https://%s/item/%d", F.col("host"), F.col("id"))
+        )
+        .select(
+            F.xxhash64("url").alias("url_hash"),
+            "url",
+            "host",
+            F.lit("PENDING").alias("status"),
+            F.lit(1).alias("depth"),
+            F.format_string("%012d", F.col("id")).alias("seq_path"),
+            F.lit(0).alias("round"),
+            F.lit(0.0).alias("priority"),
+        )
+    )
+
+
+def synthetic_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
+    delays = (1.0, 2.0, 5.0)
+    rows = [
+        {
+            "host": f"h{i:04d}.example.com",
+            "disallow": ["/private"],
+            "crawl_delay": delays[i % 3],
+        }
+        for i in range(n_hosts)
+    ]
+    return spark.createDataFrame(rows, schema=ROBOTS_SCHEMA)
+
+
+def run_kernel(
+    spark: SparkSession,
+    n_rows: int = 2_000_000,
+    n_hosts: int = 500,
+    fanout: int = 6,
+    round_seconds: float = 4000.0,
+) -> dict:
+    """One engine round at scale; returns throughput numbers."""
+    cfg = CrawlConfig(
+        round_seconds=round_seconds,
+        bloom_shards=32,
+        bloom_bits_per_shard=1 << 23,  # 32 MB total: 10 bits/key at 24M keys
+    )
+    robots = synthetic_robots(spark, n_hosts)
+    eng = CrawlEngine(spark, cfg, corpus_df=None, robots_df=robots)
+
+    pending = synthetic_pending(spark, n_rows, n_hosts).localCheckpoint(eager=True)
+
+    t_bloom = time.time()
+    bloom = BloomShards.build(pending.select("url_hash"), cfg)
+    bloom_sec = time.time() - t_bloom
+
+    t0 = time.time()
+    dequeued = eng._dequeue(pending).persist()
+    n_deq = dequeued.count()
+
+    # fetch-sim: relative child hrefs into a ~50% colliding id space
+    child_space = max(1, n_rows * fanout // 2)
+    base = dequeued.select(
+        "url",
+        "depth",
+        "seq_path",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(fanout - 1)),
+            lambda i: F.format_string(
+                "/item/c%d",
+                F.pmod(F.xxhash64(F.concat(F.col("url"), i.cast("string"))),
+                       F.lit(child_space)),
+            ),
+        ).alias("outlinks"),
+        F.lit(None).cast("string").alias("next_url"),
+        F.lit(None).cast("int").alias("total_count"),
+    )
+    flagged = eng._discover(base)
+    allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
+    fresh = eng.dedupe_new(allowed, pending, bloom, 0)
+    n_fresh = fresh.count()
+    elapsed = time.time() - t0
+    dequeued.unpersist()
+
+    n_candidates = n_deq * fanout  # arithmetic: fanout per dequeued row
+    processed = n_deq + n_candidates
+    return {
+        "pending_rows": n_rows,
+        "hosts": n_hosts,
+        "dequeued": int(n_deq),
+        "candidates": int(n_candidates),
+        "fresh": int(n_fresh),
+        "bloom_build_sec": round(bloom_sec, 2),
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(processed / elapsed, 1),
+    }

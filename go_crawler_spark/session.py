@@ -43,9 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # big binary payload rows: keep Arrow batches small enough that a
-        # batch of encoded images fits comfortably in a python worker
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing trades python-worker roundtrip overhead
+        # against per-batch memory: 8192 keeps string-kernel batches
+        # cheap while an image-payload batch (~12 KB/row) stays ~100 MB;
+        # shrink via extra_conf for bigger images at cluster scale
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

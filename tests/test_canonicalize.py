@@ -53,6 +53,43 @@ def test_empty_path_and_query_kept():
     )
 
 
+def test_batch_fast_path_parity():
+    """canonicalize_batch's vectorized tier must agree with canon_url."""
+    import pandas as pd
+
+    from go_crawler_spark.crawl.canonicalize import canonicalize_batch
+
+    bases = [
+        BASE,
+        "https://h01.example.com/",
+        "https://h.example.com:8443/list/3?p=9",
+        "http://h.example.com/a/b",
+        "HTTPS://Upper.example.com/x",  # non-canonical base → slow path
+    ]
+    hrefs = [
+        "/job/5",
+        "/job/5?x=1&y=2",
+        "/a/b/c.html",
+        "/p%20q",
+        "../job/9",  # dot segment → slow path
+        "/job/5#frag",  # fragment → slow path
+        "//other.example.com/z",  # protocol-relative → slow path
+        "/日本語/パス",  # non-ASCII → slow path
+        "job/7",  # not root-relative → slow path
+        "https://abs.example.com/ok",
+        "/x/..",  # trailing dot-dot → slow path
+        "/x/.",
+        "notaurl",
+        "",
+    ]
+    pairs = [(b, h) for b in bases for h in hrefs]
+    got = canonicalize_batch(
+        pd.Series([p[0] for p in pairs]), pd.Series([p[1] for p in pairs])
+    )
+    for i, (b, h) in enumerate(pairs):
+        assert got[i] == canon_url(b, h), (b, h, got[i], canon_url(b, h))
+
+
 def test_xxhash64_matches_spark(spark):
     samples = [
         "",
