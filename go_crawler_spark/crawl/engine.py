@@ -32,6 +32,9 @@ result set as a single global window, bounded partitions at any scale.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -127,6 +130,13 @@ def _decode_verify(batches):
             out["caption_ok"].append(caption_ok)
             out["phash_dist"].append(phash_dist)
         yield pd.DataFrame(out)
+
+
+def _tlog(label: str, t0: float) -> float:
+    """Per-action wall timing, enabled with GCS_TIMING=1 (perf triage)."""
+    if os.environ.get("GCS_TIMING"):
+        print(f"GCS_T {label}: {time.time() - t0:.2f}s", file=sys.stderr, flush=True)
+    return time.time()
 
 
 @dataclass
@@ -359,62 +369,90 @@ class CrawlEngine:
         actions per round — trace status counts, robots/candidate
         counts, fresh count, and pages count — everything downstream
         reuses those persisted frames."""
-        dequeued = self._dequeue(frontier.filter(F.col("status") == "PENDING"))
+        dequeued = self._dequeue(
+            frontier.filter(F.col("status") == "PENDING")
+        ).select("url_hash", "url", "host", "depth", "seq_path").persist()
 
-        fetched = (
-            dequeued.select("url_hash", "url", "host", "depth", "seq_path")
-            .join(
-                self.corpus.select(
-                    F.col("url_hash").alias("c_hash"), "kind", "next_url",
-                    "total_count", "outlinks", "fetch_ok", "image_id",
-                    "bytes", "w", "h", "fmt", "caption", "phash",
-                ),
-                F.col("url_hash") == F.col("c_hash"),
-                "left",
-            )
-            .drop("c_hash")
+        # The "fetch" join. The dequeued set is bounded by the politeness
+        # budgets (sum of per-host budgets per round), so it broadcasts —
+        # the corpus side is neither shuffled nor broadcast: payload
+        # bytes stay in their partitions and decode runs map-side (the
+        # Spark analog of the reference's resource blocking, C8 — never
+        # move bytes you haven't asked for). Misses (URL not in corpus)
+        # are recovered with a broadcast anti-join and marked FAILED.
+        corpus_meta = self.corpus.select(
+            "url_hash", "kind", "next_url", "total_count", "outlinks", "fetch_ok"
+        )
+        hit = (
+            corpus_meta.join(F.broadcast(dequeued), "url_hash", "inner")
             .withColumn("ok", F.coalesce(F.col("fetch_ok"), F.lit(False)))
             .persist()
         )
-
-        trace = fetched.select(
-            F.lit(round_no).alias("round"), "depth", "seq_path", "url_hash",
-            "url", "host",
-            F.when(F.col("ok"), "SUCCESS").otherwise("FAILED").alias("status"),
-        ).persist()
+        miss = dequeued.join(
+            F.broadcast(hit.select("url_hash")), "url_hash", "left_anti"
+        )
+        trace = (
+            hit.select(
+                F.lit(round_no).alias("round"), "depth", "seq_path", "url_hash",
+                "url", "host",
+                F.when(F.col("ok"), "SUCCESS").otherwise("FAILED").alias("status"),
+            )
+            .unionByName(
+                miss.select(
+                    F.lit(round_no).alias("round"), "depth", "seq_path",
+                    "url_hash", "url", "host", F.lit("FAILED").alias("status"),
+                )
+            )
+            .persist()
+        )
+        t0 = time.time()
         status_counts = {
             r["status"]: r["count"]
             for r in trace.groupBy("status").count().collect()  # action 1
         }
+        t0 = _tlog("a1_trace_counts", t0)
         n_dequeued = sum(status_counts.values())
         n_ok = int(status_counts.get("SUCCESS", 0))
 
         pages = None
         if with_payload_verify:
-            payload = fetched.filter(
-                F.col("ok") & (F.col("kind") == "detail") & F.col("bytes").isNotNull()
-            ).select(
-                "url_hash", "url", "host", "depth", "image_id", "bytes",
-                "w", "h", "fmt", "caption", "phash",
+            payload = (
+                self.corpus.join(
+                    F.broadcast(dequeued.select("url_hash", "depth")),
+                    "url_hash",
+                    "inner",
+                )
+                .filter(
+                    F.col("fetch_ok")
+                    & (F.col("kind") == "detail")
+                    & F.col("bytes").isNotNull()
+                )
+                .select(
+                    "url_hash", "url", "host", "depth", "image_id", "bytes",
+                    "w", "h", "fmt", "caption", "phash",
+                )
             )
             pages = payload.mapInPandas(_decode_verify, schema=_VERIFY_OUT).withColumn(
                 "round", F.lit(round_no)
             ).persist()
-            pages.count()  # action 2 — materialize before fetched unpersists
+            pages.count()  # action 2 — decode map-side over corpus partitions
+            t0 = _tlog("a2_decode_verify", t0)
 
         flagged = self._discover(
-            fetched.filter(F.col("ok") & (F.col("kind") == "list"))
+            hit.filter(F.col("ok") & (F.col("kind") == "list"))
         ).persist()
         reject_counts = {
             bool(r["robots_reject"]): r["count"]
             for r in flagged.groupBy("robots_reject").count().collect()  # action 3
         }
+        t0 = _tlog("a3_discover_counts", t0)
         n_candidates = int(reject_counts.get(False, 0))
         n_robots = int(reject_counts.get(True, 0))
         allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
 
         fresh = self.dedupe_new(allowed, frontier, bloom, round_no).persist()
         n_fresh = fresh.count()  # action 4
+        t0 = _tlog("a4_dedupe_fresh", t0)
 
         # status flips for dequeued rows (MERGE-on-read; store's status_log)
         flips = trace.select("url_hash", F.col("status").alias("new_status"))
@@ -434,7 +472,8 @@ class CrawlEngine:
             dedup_skipped=n_candidates - n_fresh,
             enqueued=int(n_fresh),
         )
-        fetched.unpersist()
+        dequeued.unpersist()
+        hit.unpersist()
         flagged.unpersist()
         return new_frontier, trace, pages, stats
 

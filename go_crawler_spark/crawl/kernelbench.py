@@ -128,3 +128,71 @@ def run_kernel(
         "elapsed_sec": round(elapsed, 2),
         "urls_per_sec": round(processed / elapsed, 1),
     }
+
+
+def run_fetch_round(
+    spark: SparkSession,
+    n_hosts: int = 48,
+    details_per_host: int = 2500,
+) -> dict:
+    """One full fetch round with image payloads: dequeue → corpus join →
+    decode/verify (PSNR + caption) → discovery dedupe.
+
+    This is the scaling-efficiency workload (BASELINE.md): the decode
+    kernel is CPU-bound (zlib inflate + numpy PSNR per image), which is
+    what actually dominates a crawl round's executor time at scale — the
+    pure string kernel (run_kernel) saturates a single box's memory
+    bandwidth long before 32 cores and is reported separately.
+
+    Corpus generation (also CPU-heavy: PCG64 pixels + deflate) happens
+    BEFORE timing via localCheckpoint.
+    """
+    from go_crawler_spark.crawl import corpus as corpus_mod
+    from go_crawler_spark.crawl.config import CorpusSpec
+
+    spec = CorpusSpec(
+        n_hosts=n_hosts,
+        lists_per_host=5,
+        pages_per_list=5,
+        details_per_page=max(1, details_per_host // 20),  # 5*5*dpp*0.8 ≈ target
+        dup_frac=0.8,
+        payloads=True,
+    )
+    cfg = CrawlConfig(round_seconds=1e7, bloom_shards=16)
+    corpus_df = corpus_mod.build_corpus(spark, spec).localCheckpoint(eager=True)
+    n_corpus = corpus_df.count()
+    robots = corpus_mod.build_robots(spark, spec, cfg.disallow)
+    eng = CrawlEngine(spark, cfg, corpus_df, robots)
+
+    # pending = every detail page, plus all list pages (discovery work)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("url_hash")
+    pending = (
+        corpus_df.select("url_hash", "url", "host")
+        .withColumn("status", F.lit("PENDING"))
+        .withColumn("depth", F.lit(1))
+        .withColumn(
+            "seq_path", F.format_string("%012d", F.row_number().over(w))
+        )
+        .withColumn("round", F.lit(0))
+        .withColumn("priority", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    bloom = BloomShards.build(pending.select("url_hash"), cfg)
+
+    t0 = time.time()
+    _, trace, pages, stats = eng.run_round(pending, 0, bloom,
+                                           with_payload_verify=True)
+    elapsed = time.time() - t0
+    n_pages = pages.count() if pages is not None else 0
+    processed = stats.dequeued + stats.dedup_skipped + stats.enqueued
+    return {
+        "corpus_urls": int(n_corpus),
+        "dequeued": stats.dequeued,
+        "images_decoded": int(n_pages),
+        "candidates": stats.dedup_skipped + stats.enqueued,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(processed / elapsed, 1),
+        "images_per_sec": round(n_pages / elapsed, 1),
+    }

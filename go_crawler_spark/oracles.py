@@ -375,3 +375,177 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored)
 WHERE rank <= 5
 """
+
+# --- scraper extraction family (E8-E10, E15-E16) -----------------------------
+
+from go_crawler_spark.functions.extraction import (  # noqa: E402
+    BENEFIT_KEYWORDS,
+    BONUS_PATTERNS,
+    PREFECTURES,
+    RAISE_PATTERNS,
+    short_pref_name,
+)
+
+
+def _amount_sql(s: str) -> str:
+    """ParseAmount with fixed 億>万>千 precedence (mirror of
+    functions/parsing.py::parse_amount_yen)."""
+    num = f"regexp_extract({s}, '{_NUM_RE}', 1)"
+    return f"""CAST(CASE
+      WHEN contains({s}, '億') AND {num} <> ''
+        THEN round(CAST({num} AS DOUBLE) * 100000000, 0)
+      WHEN contains({s}, '万') AND {num} <> ''
+        THEN round(CAST({num} AS DOUBLE) * 10000, 0)
+      WHEN contains({s}, '千') AND {num} <> ''
+        THEN round(CAST({num} AS DOUBLE) * 1000, 0)
+      ELSE CAST(NULLIF(regexp_replace({s}, '[^0-9]', '', 'g'), '') AS DOUBLE)
+    END AS BIGINT)"""
+
+
+_SAL_RANGE = r"([\d.,]+(?:万|千|億)?円?)\s*[~～]\s*([\d.,]+(?:万|千|億)?円?)"
+_SAL_SINGLE = r"(\d+(?:\.\d+)?[万億千]?)"
+
+SALARY_PARSE = f"""
+WITH rendered AS (
+  SELECT p_partkey,
+         CASE CAST(p_partkey % 6 AS INT)
+           WHEN 0 THEN '月給' || CAST(p_size AS VARCHAR) || '万円~'
+                       || CAST(p_size * 2 AS VARCHAR) || '万円'
+           WHEN 1 THEN '年収' || CAST(p_size AS VARCHAR) || '~'
+                       || CAST(p_size * 2 AS VARCHAR) || '万円'
+           WHEN 2 THEN '時給' || CAST(p_size * 13 AS VARCHAR) || '円'
+           WHEN 3 THEN '日給 ' || CAST(p_size AS VARCHAR) || '千円 ~ '
+                       || CAST(p_size * 2 AS VARCHAR) || '千円'
+           WHEN 4 THEN ''
+           ELSE '応相談'
+         END AS salary_raw
+  FROM part),
+parsed AS (
+  SELECT p_partkey, salary_raw,
+         regexp_extract(salary_raw, '{_SAL_RANGE}', 1) AS min_str,
+         regexp_extract(salary_raw, '{_SAL_RANGE}', 2) AS max_str,
+         regexp_extract(salary_raw, '{_SAL_SINGLE}', 1) AS single_str
+  FROM rendered),
+eff AS (
+  SELECT *,
+         CASE WHEN regexp_extract(min_str, '(万|千|億)', 1) = ''
+               AND regexp_extract(max_str, '(万|千|億)', 1) <> ''
+              THEN min_str || regexp_extract(max_str, '(万|千|億)', 1)
+              ELSE min_str END AS min_eff
+  FROM parsed),
+amounts AS (
+  SELECT p_partkey, salary_raw, min_str, max_str, single_str,
+         {_amount_sql('min_eff')} AS amin,
+         {_amount_sql('max_str')} AS amax,
+         {_amount_sql('single_str')} AS asingle
+  FROM eff),
+final AS (
+  SELECT *,
+         (min_str <> '') AS has_range,
+         (min_str <> '' AND amin IS NOT NULL AND amax IS NOT NULL) AS range_ok,
+         (single_str <> '' AND asingle IS NOT NULL) AS single_ok,
+         CASE WHEN contains(salary_raw, '年収') THEN '年給'
+              WHEN contains(salary_raw, '年給') THEN '年給'
+              WHEN contains(salary_raw, '月給') THEN '月給'
+              WHEN contains(salary_raw, '日給') THEN '日給'
+              WHEN contains(salary_raw, '時給') THEN '時給'
+              ELSE '不明' END AS unit
+  FROM amounts)
+SELECT p_partkey, salary_raw,
+       CAST(CASE WHEN has_range THEN (CASE WHEN range_ok THEN amin ELSE 0 END)
+                 WHEN single_ok THEN asingle
+                 ELSE 0 END AS BIGINT) AS salary_min,
+       CAST(CASE WHEN range_ok THEN amax END AS BIGINT) AS salary_max,
+       CASE WHEN range_ok OR (NOT has_range AND single_ok)
+            THEN unit ELSE '不明' END AS salary_unit
+FROM final
+"""
+
+
+def _counter_sql(s: str, patterns: tuple, keywords: tuple) -> str:
+    attempts = ",\n         ".join(
+        f"CAST(NULLIF(regexp_extract({s}, '{p}', 1), '') AS BIGINT)"
+        for p in patterns
+    )
+    kw = " OR ".join(f"contains({s}, '{k}')" for k in keywords)
+    return (
+        f"COALESCE({attempts},\n"
+        f"         CASE WHEN {kw} THEN CAST(1 AS BIGINT) END)"
+    )
+
+
+RAISE_BONUS = f"""
+WITH rendered AS (
+  SELECT p_partkey,
+         CASE CAST(p_partkey % 6 AS INT)
+           WHEN 0 THEN '昇給/年' || CAST(p_size % 4 + 1 AS VARCHAR) || '回 賞与/年2回'
+           WHEN 1 THEN '賞与 年' || CAST(p_size % 4 + 1 AS VARCHAR) || '回支給'
+           WHEN 2 THEN '年' || CAST(p_size % 4 + 1 AS VARCHAR) || '回ほど賞与あり'
+           WHEN 3 THEN '昇給あり、ボーナスなし'
+           WHEN 4 THEN 'ボーナス/年' || CAST(p_size % 4 + 1 AS VARCHAR) || '回'
+           ELSE '特になし'
+         END AS detail_raw
+  FROM part)
+SELECT p_partkey, detail_raw,
+       {_counter_sql('detail_raw', RAISE_PATTERNS, ('昇給',))} AS raise_count,
+       {_counter_sql('detail_raw', BONUS_PATTERNS, ('賞与', 'ボーナス'))} AS bonus_count
+FROM rendered
+"""
+
+_BENEFIT_PIECES = ",\n           ".join(
+    f"CASE WHEN (p_partkey & {1 << (i % 7)}) <> 0 THEN '{kw}' END"
+    for i, (_, kw) in enumerate(BENEFIT_KEYWORDS)
+)
+_BENEFIT_FLAGS = ",\n       ".join(
+    f"contains(benefits_raw, '{kw}') AS {name}" for name, kw in BENEFIT_KEYWORDS
+)
+
+BENEFITS_FLAGS = f"""
+WITH rendered AS (
+  SELECT p_partkey,
+         concat_ws('、',
+           {_BENEFIT_PIECES}) AS benefits_raw
+  FROM part)
+SELECT p_partkey, benefits_raw,
+       {_BENEFIT_FLAGS}
+FROM rendered
+"""
+
+_PREF_VALUES = ",\n    ".join(
+    f"('{code}', '{name}', '{short_pref_name(name)}')"
+    for code, name in PREFECTURES
+)
+
+LOCATION_PARSE = f"""
+WITH prefs(pref_code, pref_name, short_name) AS (
+  VALUES
+    {_PREF_VALUES}),
+rendered AS (
+  SELECT c_custkey,
+         CASE CAST(c_custkey % 8 AS INT)
+           WHEN 0 THEN '東京都渋谷区1-2-3'
+           WHEN 1 THEN '大阪府大阪市北区梅田'
+           WHEN 2 THEN '北海道札幌市中央区'
+           WHEN 3 THEN '神奈川県横浜市西区みなとみらい'
+           WHEN 4 THEN '京都市下京区'
+           WHEN 5 THEN '愛知県名古屋市中村区'
+           WHEN 6 THEN '福岡県福岡市博多区'
+           ELSE '所在地未定'
+         END AS loc_raw
+  FROM customer),
+matched AS (
+  SELECT r.c_custkey, r.loc_raw,
+         min(p.pref_code) AS pref_code,
+         min(p.pref_code || '|' || p.pref_name) AS codename
+  FROM rendered r LEFT JOIN prefs p
+    ON contains(r.loc_raw, p.pref_name) OR contains(r.loc_raw, p.short_name)
+  GROUP BY r.c_custkey, r.loc_raw)
+SELECT c_custkey, loc_raw, pref_code,
+       CASE WHEN pref_code IS NOT NULL
+            THEN string_split(codename, '|')[2] END AS pref_name,
+       CASE WHEN pref_code IS NOT NULL THEN NULLIF(
+         regexp_replace(
+           regexp_extract(loc_raw, '(?:都|道|府|県)[\\s ]*(\\S+?[市区町村])', 1),
+           '^[\\pP\\pS]+|[\\pP\\pS]+$', '', 'g'), '') END AS city
+FROM matched
+"""

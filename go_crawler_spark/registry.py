@@ -11,9 +11,21 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from go_crawler_spark import oracles
-from go_crawler_spark.functions import parsing, relational, similarity, textstats
+from go_crawler_spark.functions import (
+    extraction,
+    parsing,
+    relational,
+    similarity,
+    textstats,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _job_posting_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.scraper import scrape_documents
+
+    return scrape_documents(spark, sf_dir)
 
 # name -> (spark function, oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -48,6 +60,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
     "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
     "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
+    # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
+    "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),
+    "raise_bonus": (extraction.q_raise_bonus, oracles.RAISE_BONUS),
+    "benefits_flags": (extraction.q_benefits_flags, oracles.BENEFITS_FLAGS),
+    "location_parse": (extraction.q_location_parse, oracles.LOCATION_PARSE),
+    # full scraper pipeline (A14-16 + E1-E17 composed; rows-only — the
+    # component ops above are each oracle-paired)
+    "job_posting_csv": (_job_posting_csv, None),
     # text analysis (training-data ops)
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),

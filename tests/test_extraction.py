@@ -1,0 +1,111 @@
+"""Parser unit tests vs curated Japanese strings (SURVEY.md §5.4):
+range inheritance, prefecture shadowing, full-width folding, counter
+patterns — reference semantics cited per case.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.extraction import (
+    benefits_cols,
+    parse_bonus,
+    parse_raise,
+    salary_cols,
+    with_location,
+)
+from go_crawler_spark.functions.parsing import normalize_string_native
+
+
+def _one(spark, s, colfn):
+    df = spark.createDataFrame([(s,)], ["s"])
+    return df.select(colfn(F.col("s")).alias("v")).collect()[0]["v"]
+
+
+def _salary(spark, s):
+    df = spark.createDataFrame([(s,)], ["s"])
+    cols = salary_cols(F.col("s"))
+    r = df.select(
+        cols["salary_min"].alias("mn"),
+        cols["salary_max"].alias("mx"),
+        cols["salary_unit"].alias("u"),
+    ).collect()[0]
+    return r["mn"], r["mx"], r["u"]
+
+
+def test_salary_range_unit_inheritance(spark):
+    # 400~500万円 → min inherits 万 (job_posting_parser.go:268-274)
+    assert _salary(spark, "年収400~500万円") == (4_000_000, 5_000_000, "年給")
+    # both sides carry units
+    assert _salary(spark, "月給25万円~35万円") == (250_000, 350_000, "月給")
+    # full-width tilde accepted by the range regex ([~～])
+    assert _salary(spark, "月給25万円～35万円") == (250_000, 350_000, "月給")
+
+
+def test_salary_single_and_fail(spark):
+    assert _salary(spark, "時給1300円") == (1300, None, "時給")
+    assert _salary(spark, "") == (0, None, "不明")
+    assert _salary(spark, "応相談") == (0, None, "不明")
+    # single with unit suffix
+    assert _salary(spark, "日給2千円") == (2000, None, "日給")
+
+
+def test_raise_bonus_counters(spark):
+    # pattern precedence (constants/scraper.go:12-27): slash form first
+    assert _one(spark, "昇給/年2回", parse_raise) == 2
+    assert _one(spark, "昇給は年3回です", parse_raise) == 3
+    assert _one(spark, "年4回も昇給", parse_raise) == 4
+    assert _one(spark, "昇給あり", parse_raise) == 1  # keyword fallback
+    assert _one(spark, "何もなし", parse_raise) is None
+    assert _one(spark, "賞与/年2回", parse_bonus) == 2
+    assert _one(spark, "ボーナス/年1回", parse_bonus) == 1
+    assert _one(spark, "ボーナスあり", parse_bonus) == 1
+    assert _one(spark, "特になし", parse_bonus) is None
+
+
+def test_benefits_flags(spark):
+    df = spark.createDataFrame([("社会保険完備、交通費支給、退職金制度あり",)], ["s"])
+    flags = benefits_cols(F.col("s"))
+    row = df.select(*[c.alias(n) for n, c in flags.items()]).collect()[0]
+    assert row["social_insurance"] and row["transport_allowance"]
+    assert row["retirement_plan"]
+    assert not row["paid_leave"] and not row["flex_time"]
+
+
+@pytest.mark.parametrize(
+    "raw,code,name,city",
+    [
+        # 東京都 contains 京都府's short name 京都 — min-code rule → 13
+        ("東京都渋谷区1-2-3", "13", "東京都", "渋谷区"),
+        ("京都市下京区", "26", "京都府", "市下京区"),  # reference quirk kept:
+        # the city regex anchors on the first 都/道/府/県 char — in 京都市
+        # that's the 都 of 京都, so the lazy capture swallows 市下京区
+        ("北海道札幌市中央区", "01", "北海道", "札幌市"),
+        ("神奈川県横浜市西区", "14", "神奈川県", "横浜市"),
+        ("所在地未定", None, None, None),
+    ],
+)
+def test_location_parse(spark, raw, code, name, city):
+    df = spark.createDataFrame([(raw,)], ["loc_raw"])
+    r = with_location(df, "loc_raw", spark).collect()[0]
+    assert r["pref_code"] == code
+    assert r["pref_name"] == name
+    assert r["city"] == city
+
+
+def test_normalize_native(spark):
+    got = _one(spark, "　３５０万円（月給）\x07　", normalize_string_native)
+    assert got == "350万円(月給)"
+
+
+def test_scraper_pipeline_columns(spark, sf_small):
+    from go_crawler_spark.scraper import CSV_HEADERS, scrape_documents
+
+    df = scrape_documents(spark, sf_small)
+    assert tuple(df.columns) == CSV_HEADERS
+    rows = df.limit(20).collect()
+    assert len(rows) == 20
+    r = rows[5].asDict()
+    assert r["雇用形態"] == "正社員"
+    assert r["給与(単位)"] == "月給"
+    assert r["タイトル"].startswith("求人タイトル")
+    assert r["勤務地(都道府県コード)"] != ""
