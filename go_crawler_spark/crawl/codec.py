@@ -24,6 +24,7 @@ inside the Arrow-batched ``decode_verify`` kernel (SURVEY.md §2 E18).
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 import zlib
 
@@ -45,19 +46,34 @@ def _seed_from_id(image_id: str) -> np.random.Generator:
     return np.random.Generator(np.random.PCG64(int.from_bytes(digest[:8], "little")))
 
 
+_SCALE_RE = re.compile(r"@x(\d+)$")
+
+
+def _scale_of(image_id: str) -> int:
+    """Image size multiplier encoded in the id ("…@x4" → 4, default 1).
+
+    Keeping the scale inside the id preserves the pure-function
+    property the verify kernel depends on: truth pixels derive from the
+    id alone, no side-channel config."""
+    m = _SCALE_RE.search(image_id)
+    return int(m.group(1)) if m else 1
+
+
 def truth_dims(image_id: str) -> tuple[int, int]:
-    """Deterministic (w, h) in [24, 64] for an image id."""
+    """Deterministic (w, h); base [24, 64] × the id's @x scale."""
     rng = _seed_from_id(image_id)
-    w = int(rng.integers(24, 65))
-    h = int(rng.integers(24, 65))
+    s = _scale_of(image_id)
+    w = int(rng.integers(24, 65)) * s
+    h = int(rng.integers(24, 65)) * s
     return w, h
 
 
 def truth_pixels(image_id: str) -> np.ndarray:
     """Ground-truth RGB uint8 array (h, w, 3), pure function of id."""
     rng = _seed_from_id(image_id)
-    w = int(rng.integers(24, 65))
-    h = int(rng.integers(24, 65))
+    s = _scale_of(image_id)
+    w = int(rng.integers(24, 65)) * s
+    h = int(rng.integers(24, 65)) * s
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 

@@ -37,6 +37,9 @@ class CorpusSpec:
     payloads: bool = True  # False → frontier-shaped corpus without image
     # bytes (bench mode: the 10^10 logical frontier materializes payloads
     # only for fetched rows, SURVEY.md §7 M6)
+    img_scale: int = 1  # image dims multiplier (encoded into image_id as
+    # "@xN"); bench uses 4 → ~100-250 KB payloads, the realistic regime
+    # where decode dominates a fetch round
 
     def __post_init__(self) -> None:
         if self.n_hosts < 1 or self.lists_per_host < 1:

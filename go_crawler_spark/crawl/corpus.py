@@ -140,6 +140,8 @@ def _list_page_row(spec: CorpusSpec, i: int, lst: int, page: int) -> dict:
 def _detail_page_row(spec: CorpusSpec, i: int, did: int) -> dict:
     url = detail_url(spec, i, did)
     image_id = f"{spec.host(i)}-job-{did}"
+    if spec.img_scale > 1:
+        image_id += f"@x{spec.img_scale}"
     if spec.payloads:
         payload = codec.payload_for(image_id)
     else:  # frontier-shaped bench corpus: typed metadata, no bytes

@@ -360,6 +360,7 @@ class CrawlEngine:
         round_no: int,
         bloom: BloomShards | None,
         with_payload_verify: bool = True,
+        light_metrics: bool = False,
     ) -> tuple[DataFrame, DataFrame, DataFrame | None, RoundStats]:
         """Returns (new_frontier lazy, trace, pages, stats).
 
@@ -440,14 +441,21 @@ class CrawlEngine:
 
         flagged = self._discover(
             hit.filter(F.col("ok") & (F.col("kind") == "list"))
-        ).persist()
-        reject_counts = {
-            bool(r["robots_reject"]): r["count"]
-            for r in flagged.groupBy("robots_reject").count().collect()  # action 3
-        }
-        t0 = _tlog("a3_discover_counts", t0)
-        n_candidates = int(reject_counts.get(False, 0))
-        n_robots = int(reject_counts.get(True, 0))
+        )
+        if light_metrics:
+            # throughput mode: skip the robots/candidate count action —
+            # stats carry -1 sentinels (run()'s pending arithmetic only
+            # needs dequeued and enqueued)
+            n_candidates, n_robots = -1, -1
+        else:
+            flagged = flagged.persist()
+            reject_counts = {
+                bool(r["robots_reject"]): r["count"]
+                for r in flagged.groupBy("robots_reject").count().collect()  # a3
+            }
+            t0 = _tlog("a3_discover_counts", t0)
+            n_candidates = int(reject_counts.get(False, 0))
+            n_robots = int(reject_counts.get(True, 0))
         allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
 
         fresh = self.dedupe_new(allowed, frontier, bloom, round_no).persist()
@@ -469,12 +477,13 @@ class CrawlEngine:
             success=n_ok,
             failed=n_dequeued - n_ok,
             robots_skipped=n_robots,
-            dedup_skipped=n_candidates - n_fresh,
+            dedup_skipped=(n_candidates - n_fresh) if n_candidates >= 0 else -1,
             enqueued=int(n_fresh),
         )
         dequeued.unpersist()
         hit.unpersist()
-        flagged.unpersist()
+        if not light_metrics:
+            flagged.unpersist()
         return new_frontier, trace, pages, stats
 
     # -- full run ------------------------------------------------------

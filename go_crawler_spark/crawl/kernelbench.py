@@ -134,6 +134,9 @@ def run_fetch_round(
     spark: SparkSession,
     n_hosts: int = 48,
     details_per_host: int = 2500,
+    corpus_path: str | None = None,
+    light_metrics: bool = True,
+    img_scale: int = 1,
 ) -> dict:
     """One full fetch round with image payloads: dequeue → corpus join →
     decode/verify (PSNR + caption) → discovery dedupe.
@@ -157,9 +160,14 @@ def run_fetch_round(
         details_per_page=max(1, details_per_host // 20),  # 5*5*dpp*0.8 ≈ target
         dup_frac=0.8,
         payloads=True,
+        img_scale=img_scale,
     )
     cfg = CrawlConfig(round_seconds=1e7, bloom_shards=16)
-    corpus_df = corpus_mod.build_corpus(spark, spec).localCheckpoint(eager=True)
+    if corpus_path is not None:
+        # pre-generated corpus (scaling runs share one generation pass)
+        corpus_df = spark.read.parquet(corpus_path).localCheckpoint(eager=True)
+    else:
+        corpus_df = corpus_mod.build_corpus(spark, spec).localCheckpoint(eager=True)
     n_corpus = corpus_df.count()
     robots = corpus_mod.build_robots(spark, spec, cfg.disallow)
     eng = CrawlEngine(spark, cfg, corpus_df, robots)
@@ -181,17 +189,29 @@ def run_fetch_round(
     )
     bloom = BloomShards.build(pending.select("url_hash"), cfg)
 
+    # warmup round on a small slice: spawns python workers on every
+    # slot, JITs the codegen'd stages, loads broadcast machinery — the
+    # one-time costs a real multi-round crawl amortizes and a
+    # single-round measurement would otherwise mis-charge to throughput
+    warm = pending.limit(2000).localCheckpoint(eager=True)
+    eng.run_round(warm, 0, bloom, with_payload_verify=True,
+                  light_metrics=True)
+
     t0 = time.time()
-    _, trace, pages, stats = eng.run_round(pending, 0, bloom,
-                                           with_payload_verify=True)
+    _, trace, pages, stats = eng.run_round(
+        pending, 0, bloom, with_payload_verify=True, light_metrics=light_metrics
+    )
     elapsed = time.time() - t0
     n_pages = pages.count() if pages is not None else 0
-    processed = stats.dequeued + stats.dedup_skipped + stats.enqueued
+    # light mode: within-round duplicate candidates aren't counted — the
+    # urls/sec figure is a lower bound
+    extra = stats.dedup_skipped if stats.dedup_skipped >= 0 else 0
+    processed = stats.dequeued + extra + stats.enqueued
     return {
         "corpus_urls": int(n_corpus),
         "dequeued": stats.dequeued,
         "images_decoded": int(n_pages),
-        "candidates": stats.dedup_skipped + stats.enqueued,
+        "candidates": extra + stats.enqueued,
         "elapsed_sec": round(elapsed, 2),
         "urls_per_sec": round(processed / elapsed, 1),
         "images_per_sec": round(n_pages / elapsed, 1),

@@ -221,3 +221,93 @@ def q_optional_uint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", parse_optional_uint(F.col("props")).alias("holidays")
     )
+
+
+# ---------------------------------------------------------------------------
+# B7/B8: pagination URL construction + page-one normalization
+# (/root/reference/internal/usecase/crawler.go:476-516, 527-564)
+# ---------------------------------------------------------------------------
+
+
+def q_paginated_url_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: the four buildPaginatedURL modes over synthesized bases.
+
+    Query mode sets/replaces the param (Go url.Values.Set + Encode —
+    single-param bases, so the alphabetical re-encode is a no-op);
+    Path joins '/{param}/{page}'; Segment appends '/{param}{page}';
+    None passes through.
+    """
+    part = load(spark, sf_dir, "part")
+    mode = F.col("p_partkey") % 4
+    page = (F.col("p_size") % 20 + 1).cast("string")
+    base = F.format_string("https://x.example.com/list/%d", F.col("p_partkey"))
+    base_q = F.concat(base, F.lit("?p=1"))
+    trimmed = F.regexp_replace(base, r"/$", "")
+    page_url = (
+        F.when(mode == 0, base)  # None
+        .when(mode == 1, F.concat(F.regexp_replace(base_q, r"\?p=\d+$", ""),
+                                  F.lit("?p="), page))  # Query (replace)
+        .when(mode == 2, F.concat(trimmed, F.lit("/page/"), page))  # Path
+        .otherwise(F.concat(trimmed, F.lit("/page"), page))  # Segment
+    )
+    return part.select(
+        "p_partkey",
+        mode.cast("int").alias("mode"),
+        page_url.alias("page_url"),
+    )
+
+
+def q_page_one_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: normalizeToPageOneURL — strip '/param/N', '/paramN', or the
+    query param, per mode (anchored regexes, crawler.go:541/549/556)."""
+    part = load(spark, sf_dir, "part")
+    mode = F.col("p_partkey") % 3
+    n = (F.col("p_size") % 20 + 1).cast("string")
+    raw = (
+        F.when(mode == 0, F.format_string("https://x.example.com/list/%d", F.col("p_partkey")))
+        .when(mode == 1, F.concat(F.format_string("https://x.example.com/list/%d", F.col("p_partkey")), F.lit("/page/"), n))
+        .otherwise(F.concat(F.format_string("https://x.example.com/list/%d", F.col("p_partkey")), F.lit("/page"), n))
+    )
+    raw = F.when(mode == 0, F.concat(raw, F.lit("?p="), n)).otherwise(raw)
+    normalized = (
+        F.when(mode == 0, F.regexp_replace(raw, r"\?p=\d+$", ""))  # Query: del param
+        .when(mode == 1, F.regexp_replace(raw, r"/page/\d+$", "/"))  # Path
+        .otherwise(F.regexp_replace(raw, r"/page\d+$", "/"))  # Segment
+    )
+    return part.select(
+        "p_partkey", raw.alias("raw_url"), normalized.alias("page_one_url")
+    )
+
+
+def q_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: CrawlJob record ⟷ JSON codec round-trip
+    (/root/reference/internal/infra/model.go:13-28 — the Redis value is
+    a JSON {id,url,status}); to_json → from_json must be identity."""
+    from pyspark.sql import types as T
+
+    orders = load(spark, sf_dir, "orders")
+    rec = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.format_string("https://jobs.example.com/detail/%d", "o_orderkey").alias("url"),
+            F.when(F.col("o_orderstatus") == "F", "SUCCESS")
+            .otherwise("PENDING")
+            .alias("status"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    df = orders.select("o_orderkey", rec.alias("record_json"))
+    back = F.from_json("record_json", schema)
+    return df.select(
+        "o_orderkey",
+        "record_json",
+        back.getField("id").alias("job_id"),
+        back.getField("url").alias("job_url"),
+        back.getField("status").alias("job_status"),
+    )

@@ -549,3 +549,82 @@ SELECT c_custkey, loc_raw, pref_code,
            '^[\\pP\\pS]+|[\\pP\\pS]+$', '', 'g'), '') END AS city
 FROM matched
 """
+
+# --- streaming family --------------------------------------------------------
+# availableNow over a static source converges to the batch windowed
+# aggregate — the oracle is the plain GROUP BY the stream must equal.
+
+STREAM_WINDOWED_COUNTS = """
+SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S')         AS win_start,
+       event_type,
+       CAST(count(*) AS BIGINT)              AS n_events,
+       round(sum(value), 4)                  AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+STREAM_FRONTIER_DRAIN = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_pending,
+       round(max(value), 2)     AS max_priority
+FROM events
+GROUP BY user_id
+"""
+
+# --- pagination URL family (B7/B8) + JSON codec (B12) ------------------------
+
+PAGINATED_URL_MODES = """
+SELECT p_partkey,
+       CAST(p_partkey % 4 AS INT) AS mode,
+       CASE CAST(p_partkey % 4 AS INT)
+         WHEN 0 THEN 'https://x.example.com/list/' || CAST(p_partkey AS VARCHAR)
+         WHEN 1 THEN 'https://x.example.com/list/' || CAST(p_partkey AS VARCHAR)
+                     || '?p=' || CAST(p_size % 20 + 1 AS VARCHAR)
+         WHEN 2 THEN 'https://x.example.com/list/' || CAST(p_partkey AS VARCHAR)
+                     || '/page/' || CAST(p_size % 20 + 1 AS VARCHAR)
+         ELSE        'https://x.example.com/list/' || CAST(p_partkey AS VARCHAR)
+                     || '/page' || CAST(p_size % 20 + 1 AS VARCHAR)
+       END AS page_url
+FROM part
+"""
+
+PAGE_ONE_NORMALIZE = """
+WITH rendered AS (
+  SELECT p_partkey,
+         CAST(p_partkey % 3 AS INT) AS mode,
+         CAST(p_size % 20 + 1 AS VARCHAR) AS n,
+         'https://x.example.com/list/' || CAST(p_partkey AS VARCHAR) AS base
+  FROM part),
+raws AS (
+  SELECT p_partkey, mode,
+         CASE mode
+           WHEN 0 THEN base || '?p=' || n
+           WHEN 1 THEN base || '/page/' || n
+           ELSE        base || '/page' || n
+         END AS raw_url
+  FROM rendered)
+SELECT p_partkey, raw_url,
+       CASE mode
+         WHEN 0 THEN regexp_replace(raw_url, '\\?p=\\d+$', '')
+         WHEN 1 THEN regexp_replace(raw_url, '/page/\\d+$', '/')
+         ELSE        regexp_replace(raw_url, '/page\\d+$', '/')
+       END AS page_one_url
+FROM raws
+"""
+
+JSON_CODEC = """
+WITH rec AS (
+  SELECT o_orderkey,
+         to_json(struct_pack(
+           id := o_orderkey,
+           url := 'https://jobs.example.com/detail/' || CAST(o_orderkey AS VARCHAR),
+           status := CASE WHEN o_orderstatus = 'F' THEN 'SUCCESS' ELSE 'PENDING' END
+         )) AS record_json
+  FROM orders)
+SELECT o_orderkey, record_json,
+       CAST(json_extract(record_json, '$.id') AS BIGINT)    AS job_id,
+       json_extract_string(record_json, '$.url')            AS job_url,
+       json_extract_string(record_json, '$.status')         AS job_status
+FROM rec
+"""

@@ -27,6 +27,18 @@ def _job_posting_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return scrape_documents(spark, sf_dir)
 
+
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.streaming import q_stream_windowed_counts
+
+    return q_stream_windowed_counts(spark, sf_dir)
+
+
+def _stream_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.streaming import q_stream_frontier_drain
+
+    return q_stream_frontier_drain(spark, sf_dir)
+
 # name -> (spark function, oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
@@ -60,6 +72,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
     "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
     "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
+    # pagination URL construction + KV-record codec (B7/B8/B12)
+    "paginated_url_modes": (
+        parsing.q_paginated_url_modes,
+        oracles.PAGINATED_URL_MODES,
+    ),
+    "page_one_normalize": (
+        parsing.q_page_one_normalize,
+        oracles.PAGE_ONE_NORMALIZE,
+    ),
+    "json_codec": (parsing.q_json_codec, oracles.JSON_CODEC),
     # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
     "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),
     "raise_bonus": (extraction.q_raise_bonus, oracles.RAISE_BONUS),
@@ -73,6 +95,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),
     "fingerprint": (textstats.q_fingerprint, oracles.FINGERPRINT),
+    # structured streaming (availableNow convergence vs batch oracle)
+    "stream_windowed_counts": (
+        _stream_windowed_counts,
+        oracles.STREAM_WINDOWED_COUNTS,
+    ),
+    "stream_frontier_drain": (
+        _stream_frontier_drain,
+        oracles.STREAM_FRONTIER_DRAIN,
+    ),
     # dedup sketches + similarity search
     "ngram_jaccard_pairs": (
         similarity.q_ngram_jaccard_pairs,

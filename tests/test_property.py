@@ -1,0 +1,53 @@
+"""Property tests (SURVEY.md §5.4): randomized inputs, batch-evaluated.
+
+Hypothesis generates adversarial strings; each test collects one batch
+and runs it through Spark ONCE, comparing against the pure-Python
+definition of the same kernel — so the property budget isn't spent on
+Spark round-trips per example.
+"""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from go_crawler_spark.crawl.canonicalize import (
+    canon_url,
+    canonicalize_batch,
+    xxhash64_py,
+)
+
+URL_CHARS = st.sampled_from(
+    list("abcdefghij0123456789/.-_%?=&#~ ") + ["６", "７", "日", "本", "．", "／"]
+)
+HREF = st.one_of(
+    st.text(URL_CHARS, min_size=0, max_size=40),
+    st.builds(lambda p: "/" + p, st.text(URL_CHARS, max_size=30)),
+    st.builds(lambda p: "../" + p, st.text(URL_CHARS, max_size=30)),
+    st.builds(lambda h, p: f"https://{h}.example.com/{p}",
+              st.text(st.sampled_from("abc"), min_size=1, max_size=5),
+              st.text(URL_CHARS, max_size=20)),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(HREF, min_size=1, max_size=50))
+def test_canonicalize_batch_matches_scalar(hrefs):
+    """The vectorized kernel (fast path + fallback) must equal the
+    scalar definition on arbitrary inputs."""
+    base = "https://h00.example.com/list/0?p=2"
+    got = canonicalize_batch(
+        pd.Series([base] * len(hrefs)), pd.Series(hrefs, dtype=object)
+    )
+    for i, h in enumerate(hrefs):
+        assert got[i] == canon_url(base, h), h
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=40))
+def test_xxhash64_py_matches_spark_batch(spark, strings):
+    """Pure-Python XXH64 == Spark's xxhash64 on arbitrary unicode."""
+    df = spark.createDataFrame([(s,) for s in strings], ["s"])
+    rows = df.select("s", F.xxhash64("s").alias("h")).collect()
+    for r in rows:
+        assert xxhash64_py(r["s"]) == r["h"], repr(r["s"])

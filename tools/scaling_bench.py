@@ -19,31 +19,62 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN = """
+import sys
+sys.path.insert(0, {repo!r})
+from go_crawler_spark.session import get_spark
+from go_crawler_spark.crawl import corpus as cm
+from go_crawler_spark.crawl.config import CorpusSpec
+spark = get_spark("gen", cpus=32, shuffle_partitions=32,
+                  extra_conf={{"spark.sql.execution.arrow.maxRecordsPerBatch": "512"}})
+spec = CorpusSpec(n_hosts=48, lists_per_host=5, pages_per_list=5,
+                  details_per_page={dpp}, payloads=True, img_scale=4)
+cm.build_corpus(spark, spec).write.mode("overwrite").parquet({path!r})
+print("GEN_DONE")
+"""
+
 CHILD = """
 import json, sys
 sys.path.insert(0, {repo!r})
 from go_crawler_spark.session import get_spark
 from go_crawler_spark.crawl.kernelbench import run_fetch_round
-spark = get_spark("scaling_bench", cpus={cpus}, shuffle_partitions={cpus})
-r = run_fetch_round(spark, n_hosts=48, details_per_host={n_rows} // 48)
+spark = get_spark("scaling_bench", cpus={cpus}, shuffle_partitions={cpus},
+                  extra_conf={{"spark.sql.execution.arrow.maxRecordsPerBatch": "512"}})
+r = run_fetch_round(spark, n_hosts=48, details_per_host={n_rows} // 48,
+                    corpus_path={path!r}, img_scale=4)
 r["cpus"] = {cpus}
 print("SCALING_RESULT " + json.dumps(r))
 """
 
 
-def run_at(cpus: int, n_rows: int) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_rows=n_rows)
+def _run_child(code: str, marker: str) -> dict | None:
+    env = dict(os.environ)
+    # payload corpora checkpoint several GB into the block manager; a
+    # 16g heap GC-thrashes and poisons the timing — size it generously
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
         timeout=3600,
         check=True,
+        env=env,
     )
     for line in out.stdout.splitlines():
-        if line.startswith("SCALING_RESULT "):
-            return json.loads(line[len("SCALING_RESULT "):])
+        if line.startswith(marker):
+            rest = line[len(marker):].strip()
+            return json.loads(rest) if rest else {}
     raise RuntimeError(f"no result line; stderr tail: {out.stderr[-2000:]}")
+
+
+def generate_corpus(n_rows: int, path: str) -> None:
+    dpp = max(1, (n_rows // 48) // 20)  # 5*5*dpp*0.8 ≈ per-host target
+    _run_child(GEN.format(repo=REPO, dpp=dpp, path=path), "GEN_DONE")
+
+
+def run_at(cpus: int, n_rows: int, path: str) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, n_rows=n_rows, path=path)
+    return _run_child(code, "SCALING_RESULT ")
 
 
 def main() -> None:
@@ -57,13 +88,27 @@ def main() -> None:
     0.82 efficiency 8→32 for a plain spin loop on this host. See
     BENCH.md for the methodology table.
     """
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 120_000
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 48_000
+    import tempfile
+
+    existing = os.environ.get("SPARK_GRAFT_SCALING_CORPUS")
+    if existing:
+        path = existing
+        print(f"reusing corpus at {path}", file=sys.stderr)
+    else:
+        corpus_dir = tempfile.mkdtemp(prefix="gcs_scaling_corpus_")
+        path = f"{corpus_dir}/corpus.parquet"
+        print(f"generating shared corpus (~{n_rows} payload rows) ...", file=sys.stderr)
+        generate_corpus(n_rows, path)
     results = {}
     for cpus in (2, 8, 32):
-        results[cpus] = run_at(cpus, n_rows)
+        # best of 2: single local-mode runs vary ±40% (JIT, page cache,
+        # block-manager state); min-elapsed isolates steady state
+        runs = [run_at(cpus, n_rows, path) for _ in range(2)]
+        results[cpus] = min(runs, key=lambda r: r["elapsed_sec"])
         print(
             f"  local[{cpus}]: {results[cpus]['urls_per_sec']} urls/sec "
-            f"({results[cpus]['elapsed_sec']}s)",
+            f"({[r['elapsed_sec'] for r in runs]}s, best kept)",
             file=sys.stderr,
         )
     eff_2_8 = results[8]["urls_per_sec"] / (4.0 * results[2]["urls_per_sec"])
