@@ -261,3 +261,71 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path (brute-force q_ann_cosine_topk is
+# the baseline). Random-hyperplane signs bucket the corpus; candidate
+# generation is a bucket-equality join (shuffle on a small int key, AQE
+# coalesced) instead of a cross join; exact cosine reranks in-bucket.
+# Hyperplanes are integer-arithmetic pseudo-random — h_k[i] =
+# ((k*8191 + i*127 + 13) mod 2003) - 1001 — so the DuckDB oracle can
+# regenerate them exactly (no RNG state to ship).
+# --------------------------------------------------------------------------
+
+ANN_LSH_BITS = 6
+ANN_DIM = 64
+
+
+def _hyperplane_dot(col: Column, k: int) -> Column:
+    idx = F.sequence(F.lit(0), F.lit(ANN_DIM - 1))
+    weights = F.transform(
+        idx, lambda i: ((F.lit(k * 8191) + i * 127 + 13) % 2003 - 1001).cast("double")
+    )
+    return F.aggregate(
+        F.zip_with(col, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(col: Column) -> Column:
+    """Sign-bucket id from ANN_LSH_BITS hyperplane projections."""
+    bucket = F.lit(0)
+    for k in range(ANN_LSH_BITS):
+        bucket = bucket + F.when(
+            _hyperplane_dot(col, k) >= 0, F.lit(1 << k)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine top-3: candidates share a sign bucket.
+
+    At 10^10 scale the bucket join shuffles on a small int key and each
+    bucket's rerank is local — no corpus-wide cross join. Recall is
+    traded for the prune (queries only see in-bucket neighbors), which
+    is the documented ANN contract.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    cand = emb.join(queries, "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -628,3 +628,43 @@ SELECT o_orderkey, record_json,
        json_extract_string(record_json, '$.status')         AS job_status
 FROM rec
 """
+
+# --- LSH-bucketed ANN (scale path) -------------------------------------------
+
+from go_crawler_spark.functions.similarity import ANN_DIM, ANN_LSH_BITS  # noqa: E402
+
+
+def _hyperplane_dot_sql(vec: str, k: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, {ANN_DIM}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * "
+        f"CAST((({k} * 8191 + (i - 1) * 127 + 13) % 2003 - 1001) AS DOUBLE))), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_hyperplane_dot_sql('embedding', k)} >= 0 THEN {1 << k} ELSE 0 END)"
+    for k in range(ANN_LSH_BITS)
+)
+
+ANN_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket,
+         {_norm_sql('embedding')} AS nrm
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket, nrm AS qnrm
+  FROM b WHERE vec_id % 100 = 0),
+cand AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round({_dot_sql('q.qvec', 'b.embedding')} / (q.qnrm * b.nrm), 6) AS cos_sim
+  FROM b JOIN q USING (bucket)
+  WHERE b.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM cand)
+WHERE rank <= 3
+"""

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from go_crawler_spark import oracles
 from go_crawler_spark.functions import (
     extraction,
+    multimodal,
     parsing,
     relational,
     similarity,
@@ -116,6 +117,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "simhash": (similarity.q_simhash, oracles.SIMHASH),
     "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
     "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
+    "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
+    # multimodal binary-column plumbing (rows-only: codec is sha-seeded)
+    "image_meta_extract": (multimodal.q_image_meta_extract, None),
 }
 
 

@@ -109,3 +109,31 @@ def test_scraper_pipeline_columns(spark, sf_small):
     assert r["給与(単位)"] == "月給"
     assert r["タイトル"].startswith("求人タイトル")
     assert r["勤務地(都道府県コード)"] != ""
+
+
+def test_multimodal_meta_extract(spark, sf_small):
+    from go_crawler_spark.functions.multimodal import (
+        decode_external,
+        q_image_meta_extract,
+        resize_nn,
+        sample_frames,
+    )
+    import numpy as np
+    import pytest as _pytest
+
+    rows = q_image_meta_extract(spark, sf_small).collect()
+    assert len(rows) == 200
+    r = rows[0]
+    assert r["n_bytes"] > 0 and r["fmt"] in ("png", "jpeg")
+    assert (r["thumb_w"], r["thumb_h"]) == (16, 16)
+    # deterministic: same doc_id → same phash on a second run
+    again = {x["doc_id"]: x["phash"] for x in q_image_meta_extract(spark, sf_small).collect()}
+    assert again[r["doc_id"]] == r["phash"]
+    # real numpy resize
+    px = np.arange(48 * 32 * 3, dtype=np.uint8).reshape(48, 32, 3)
+    assert resize_nn(px, 8, 8).shape == (8, 8, 3)
+    # stub contract: absent libs raise NotImplementedError, not ImportError
+    with _pytest.raises(NotImplementedError):
+        decode_external(b"xx", "jpeg")
+    with _pytest.raises(NotImplementedError):
+        sample_frames(b"xx", 5)
