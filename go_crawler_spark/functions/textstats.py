@@ -131,3 +131,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprint(F.col("text")).alias("fingerprint")
     )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-groupBy on the document text, keep the
+    first writer (min doc_id). At 100 TB the group key is
+    xxhash64(text) with a content-equality backstop per hash bucket
+    (64-bit collisions: ~1e-8 at 10^10 docs) — here the key is the text
+    itself so the DuckDB oracle is engine-agnostic."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").cast("long").alias("keeper_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    ).select("keeper_id", "n_copies")

@@ -668,3 +668,10 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM cand)
 WHERE rank <= 3
 """
+
+EXACT_DEDUP = """
+SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       CAST(count(*) AS BIGINT)    AS n_copies
+FROM documents
+GROUP BY text
+"""

@@ -92,6 +92,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # component ops above are each oracle-paired)
     "job_posting_csv": (_job_posting_csv, None),
     # text analysis (training-data ops)
+    "exact_dedup": (textstats.q_exact_dedup, oracles.EXACT_DEDUP),
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),

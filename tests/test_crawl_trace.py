@@ -44,7 +44,7 @@ def test_simulator_nontrivial(golden):
 
 
 def test_crawl_order_matches_golden(engine_result, golden):
-    rows = engine_result.ordered_trace().select(
+    rows = engine_result.ordered_trace().orderBy("pos").select(
         "pos", "round", "url", "depth", "host", "status"
     ).collect()
     expect = [
@@ -102,3 +102,38 @@ def test_golden_frames_shapes(golden):
     assert order[0]["pos"] == 0
     assert len(seen) == len(golden.seen)
     assert all(isinstance(r["url_hash"], int) for r in seen[:5])
+
+
+# --- scenario 2: adversarial knobs (no payload verify, fast) ----------------
+# higher failure rate, budget-1 host pressure, lower dup factor — the
+# trace must still match the simulator exactly.
+
+SPEC2 = CorpusSpec(n_hosts=4, lists_per_host=1, pages_per_list=5,
+                   details_per_page=5, dup_frac=0.6, fail_pct=20, seed=7)
+CFG2 = CrawlConfig(round_seconds=25.0, per_page=5, max_rounds=40)
+
+
+def test_second_scenario_trace_and_seen(spark):
+    golden = simulate(SPEC2, CFG2)
+    assert golden.rounds == 7
+    assert list(golden.final_status.values()).count("FAILED") == 6
+
+    eng = CrawlEngine(
+        spark,
+        CFG2,
+        corpus.build_corpus(spark, SPEC2),
+        corpus.build_robots(spark, SPEC2, CFG2.disallow),
+    )
+    res = eng.run(spec=SPEC2, with_payload_verify=False)
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in res.ordered_trace()
+        .orderBy("pos")
+        .select("round", "url", "status")
+        .collect()
+    ]
+    expect = [(rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace]
+    assert got == expect
+    seen = {r["url"] for r in res.frontier.select("url").collect()}
+    assert seen == golden.seen
+    assert [vars(m) for m in res.metrics] == golden.metrics
