@@ -138,7 +138,12 @@ def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
 # fast-path guard: printable-ASCII root-relative href, no fragment, no
 # dot segments, not protocol-relative — for these, resolution against a
 # canonical base is pure string concat and NFKC is the identity
-_SIMPLE_HREF = re.compile(r"^/(?!/)(?!.*\.\.)(?!.*/\./)(?!.*/\.$)(?!.*#)[!-~]+$")
+_SIMPLE_HREF = re.compile(
+    # root-relative, printable ASCII; no protocol-relative "//", no dot
+    # segments, no fragment, and no trailing "?" (urlunsplit drops an
+    # empty query, plain concat would keep it)
+    r"^/(?!/)(?!.*\.\.)(?!.*/\./)(?!.*/\.$)(?!.*#)(?!.*\?$)[!-~]+$"
+)
 _CANON_BASE = re.compile(r"^(https?://[^/?#\s]+)/")
 
 
