@@ -105,7 +105,7 @@ def main() -> None:
     kernel = run_kernel(
         spark, n_rows=int(2_000_000 * scale), n_hosts=500, fanout=6
     )
-    crawl = run_crawl_e2e(spark, min(scale, 0.25))
+    crawl = run_crawl_e2e(spark, scale)
     total = round(time.time() - t_all, 2)
 
     try:

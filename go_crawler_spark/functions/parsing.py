@@ -159,6 +159,7 @@ def q_date_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     then recover it via the first-success coalesce ladder. The render +
     reparse round-trip makes the multi-format parse oracle-checkable on
     deterministic inputs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # render/parse parity
     orders = load(spark, sf_dir, "orders")
     k = F.col("o_orderkey") % 4
     rendered = (

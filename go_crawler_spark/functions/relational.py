@@ -203,6 +203,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum = session id. Two window passes over one shuffle
     (same partition key), then one aggregate.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch parity
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp(F.col("ts"))

@@ -65,6 +65,7 @@ def q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     anything, so the converged result equals the batch windowed GROUP BY
     — which is the DuckDB oracle.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # window/epoch parity
     schema = load(spark, sf_dir, "events").schema
     stream = (
         _read_events_stream(spark, sf_dir, schema)
