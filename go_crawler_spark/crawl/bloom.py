@@ -102,6 +102,28 @@ class BloomShards:
             result[idx] = bits.all(axis=1)
         return pd.Series(result, index=hashes.index)
 
+    def with_hashes(self, hashes) -> "BloomShards":
+        """Return a copy with extra keys OR-ed in, built driver-side.
+
+        Per-round deltas are politeness-bounded (thousands of keys, 8
+        bytes each) — collecting them and setting bits locally is one
+        cheap job instead of a shuffle + applyInPandas + collect. The
+        distributed ``build`` path remains for the initial full-frontier
+        construction where keys are billions."""
+        import numpy as np  # noqa: PLC0415
+
+        h = np.asarray(hashes, dtype=np.int64)
+        shards = {k: v.copy() for k, v in self.shards.items()}
+        shard_ids = ((h % self.s) + self.s) % self.s
+        for sid in np.unique(shard_ids):
+            bitmap = shards.get(int(sid))
+            if bitmap is None:
+                bitmap = np.zeros(self.m // 8, dtype=np.uint8)
+                shards[int(sid)] = bitmap
+            pos = _probe_positions(h[shard_ids == sid], self.m, self.k).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return BloomShards(shards, self.m, self.k, self.s)
+
     def union(self, other: "BloomShards") -> "BloomShards":
         """Incremental per-round maintenance: OR-in a round's new keys
         (add-only, SURVEY.md §7 'Bloom shard lifecycle')."""

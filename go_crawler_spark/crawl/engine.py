@@ -544,11 +544,16 @@ class CrawlEngine:
                 )
                 self.store.commit_step(k + 1)
             if bloom is not None and stats.enqueued > 0:
-                delta = BloomShards.build(
-                    new_frontier.filter(F.col("round") == k + 1).select("url_hash"),
-                    cfg,
-                )
-                bloom = bloom.union(delta)
+                fresh_hashes = new_frontier.filter(F.col("round") == k + 1)
+                if stats.enqueued <= 1_000_000:
+                    # politeness-bounded delta: collect 8B keys, set bits
+                    # driver-side (one job, no shuffle)
+                    rows = fresh_hashes.select("url_hash").collect()
+                    bloom = bloom.with_hashes([r["url_hash"] for r in rows])
+                else:  # giant round: distributed build + OR-merge
+                    bloom = bloom.union(
+                        BloomShards.build(fresh_hashes.select("url_hash"), cfg)
+                    )
             traces.append(trace)
             metrics.append(stats)
             frontier = new_frontier

@@ -49,3 +49,17 @@ def test_negative_hash_sharding(built):
     _, bloom = built
     neg = pd.Series(np.array([-1, -12345678901234, -(2**62)], dtype=np.int64))
     bloom.maybe_contains(neg)  # must not raise / mis-index
+
+
+def test_with_hashes_matches_build(spark, built):
+    keys, bloom = built
+    extra = np.arange(777, 2777, dtype=np.int64) * 1_000_003
+    via_driver = bloom.with_hashes(extra)
+    via_build = bloom.union(
+        BloomShards.build(
+            spark.createDataFrame([(int(k),) for k in extra], ["url_hash"]), CFG
+        )
+    )
+    assert via_driver.maybe_contains(pd.Series(extra)).all()
+    for sid in via_build.shards:
+        assert (via_driver.shards[sid] == via_build.shards[sid]).all()
