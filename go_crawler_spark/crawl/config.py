@@ -78,6 +78,10 @@ class CrawlConfig:
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
     host_salt_buckets: int = 4  # skew: hot-host salting fan-out (F2/§4.2)
+    broadcast_fetch: bool = True  # fetch join strategy: broadcast the
+    # politeness-bounded dequeued side (bytes never shuffle — the normal
+    # case); False → shuffle join on url_hash with AQE skew splitting,
+    # for rounds whose dequeue exceeds broadcast size
     disallow: tuple[str, ...] = field(default=ROBOTS_DISALLOW)
 
     def __post_init__(self) -> None:

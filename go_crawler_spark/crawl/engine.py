@@ -384,8 +384,9 @@ class CrawlEngine:
         corpus_meta = self.corpus.select(
             "url_hash", "kind", "next_url", "total_count", "outlinks", "fetch_ok"
         )
+        deq_side = F.broadcast(dequeued) if self.cfg.broadcast_fetch else dequeued
         hit = (
-            corpus_meta.join(F.broadcast(dequeued), "url_hash", "inner")
+            corpus_meta.join(deq_side, "url_hash", "inner")
             .withColumn("ok", F.coalesce(F.col("fetch_ok"), F.lit(False)))
             .persist()
         )
@@ -417,9 +418,10 @@ class CrawlEngine:
 
         pages = None
         if with_payload_verify:
+            keys = dequeued.select("url_hash", "depth")
             payload = (
                 self.corpus.join(
-                    F.broadcast(dequeued.select("url_hash", "depth")),
+                    F.broadcast(keys) if self.cfg.broadcast_fetch else keys,
                     "url_hash",
                     "inner",
                 )

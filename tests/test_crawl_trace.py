@@ -137,3 +137,26 @@ def test_second_scenario_trace_and_seen(spark):
     seen = {r["url"] for r in res.frontier.select("url").collect()}
     assert seen == golden.seen
     assert [vars(m) for m in res.metrics] == golden.metrics
+
+
+def test_shuffle_fetch_strategy_same_results(spark):
+    """broadcast_fetch=False (AQE shuffle join) is a physical-plan
+    choice only — trace and seen set must be identical."""
+    import dataclasses
+
+    golden = simulate(SPEC2, CFG2)
+    cfg = dataclasses.replace(CFG2, broadcast_fetch=False)
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        corpus.build_corpus(spark, SPEC2),
+        corpus.build_robots(spark, SPEC2, cfg.disallow),
+    )
+    res = eng.run(spec=SPEC2, with_payload_verify=False)
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in res.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    expect = [(rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace]
+    assert got == expect
