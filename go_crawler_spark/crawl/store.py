@@ -42,7 +42,11 @@ class SnapshotStore:
         os.makedirs(os.path.join(base, "_commits"), exist_ok=True)
 
     def _table_dir(self, table: str) -> str:
-        return os.path.join(self.base, table)
+        path = os.path.join(self.base, table)
+        # compaction crash window: main dir mid-swap → fall back to .old
+        if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+            return path + ".old"
+        return path
 
     def append(self, table: str, df: DataFrame, step: int) -> None:
         """Write a table's rows for commit unit ``step``.
@@ -87,6 +91,33 @@ class SnapshotStore:
         # drop the partition-discovery column: `step` is commit plumbing,
         # not part of any table's logical schema
         return self.spark.read.option("basePath", base).parquet(*dirs).drop("step")
+
+    def compact(self, table: str) -> None:
+        """Rewrite a table's committed step dirs into one (Iceberg
+        OPTIMIZE analog) — after N rounds a table holds N small
+        partition dirs; scans pay per-file overhead.
+
+        Crash-safe: consolidated data lands in ``{table}.new`` first;
+        the two renames leave either the old layout, the ``.old``
+        fallback (which ``_table_dir`` resolves), or the new layout —
+        never a missing table."""
+        df = self.read(table)
+        if df is None:
+            return
+        latest = self.latest_step()
+        cur = self._table_dir(table)
+        new = cur + ".new"
+        old = cur + ".old"
+        df.write.mode("overwrite").parquet(os.path.join(new, f"step={latest}"))
+        if os.path.isdir(old):
+            import shutil
+
+            shutil.rmtree(old)
+        os.rename(cur, old)
+        os.rename(new, cur)
+        import shutil
+
+        shutil.rmtree(old)
 
     def current_frontier(self) -> DataFrame | None:
         """Merge-on-read frontier view: discoveries ⟕ latest status flip.

@@ -79,3 +79,54 @@ def test_uncommitted_round_invisible(spark, tmp_path_factory, corpus_df, robots_
         "'SUCCESS' as status"), 5)
     assert store.latest_step() == -1
     assert store.read("frontier") is None  # nothing committed → nothing visible
+
+
+def test_resume_with_payload_pages(spark, tmp_path_factory, corpus_df, robots_df):
+    """Pages (decode/verify results) accumulate correctly across a
+    resume: committed rounds' pages survive, resumed rounds append."""
+    base = str(tmp_path_factory.mktemp("crawlstore3"))
+    store1 = SnapshotStore(spark, base)
+    cfg_partial = CrawlConfig(
+        round_seconds=CFG.round_seconds, per_page=CFG.per_page, max_rounds=2
+    )
+    CrawlEngine(spark, cfg_partial, corpus_df, robots_df, store=store1).run(
+        spec=SPEC, with_payload_verify=True
+    )
+    pages_before = store1.read("pages")
+    n_before = pages_before.count() if pages_before is not None else 0
+
+    store2 = SnapshotStore(spark, base)
+    CrawlEngine(spark, CFG, corpus_df, robots_df, store=store2).run(
+        spec=SPEC, with_payload_verify=True, resume=True
+    )
+    pages = store2.read("pages")
+    assert pages is not None
+    rows = pages.collect()
+    assert len(rows) > n_before > 0
+    # invariant holds on every stored page row, including pre-resume ones
+    assert all(r["pixels_ok"] and r["caption_ok"] for r in rows)
+    # one page row per successfully fetched detail URL, no dup appends
+    assert len({r["url_hash"] for r in rows}) == len(rows)
+
+
+def test_compaction_preserves_state(spark, tmp_path_factory, corpus_df, robots_df):
+    """store.compact() collapses step dirs without changing any row —
+    the merge-on-read frontier is identical before and after."""
+    import os
+
+    base = str(tmp_path_factory.mktemp("crawlstore4"))
+    store = SnapshotStore(spark, base)
+    CrawlEngine(spark, CFG, corpus_df, robots_df, store=store).run(
+        spec=SPEC, with_payload_verify=False
+    )
+    before = _snapshot(store.current_frontier())
+    n_dirs_before = len(os.listdir(os.path.join(base, "frontier")))
+    assert n_dirs_before > 1
+
+    store.compact("frontier")
+    store.compact("status_log")
+    assert len(os.listdir(os.path.join(base, "frontier"))) == 1
+    assert _snapshot(store.current_frontier()) == before
+
+    # a fresh store instance reads the compacted layout identically
+    assert _snapshot(SnapshotStore(spark, base).current_frontier()) == before
