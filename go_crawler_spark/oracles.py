@@ -675,3 +675,11 @@ SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
 FROM documents
 GROUP BY text
 """
+
+STREAM_STATEFUL_FIRST_SEEN = """
+SELECT user_id, event_type,
+       CAST(min(event_id) AS BIGINT) AS first_event_id,
+       CAST(count(*) AS BIGINT)      AS n_seen
+FROM events
+GROUP BY user_id, event_type
+"""

@@ -40,6 +40,12 @@ def _stream_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return q_stream_frontier_drain(spark, sf_dir)
 
+
+def _stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.streaming import q_stream_stateful_first_seen
+
+    return q_stream_stateful_first_seen(spark, sf_dir)
+
 # name -> (spark function, oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
@@ -105,6 +111,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_frontier_drain": (
         _stream_frontier_drain,
         oracles.STREAM_FRONTIER_DRAIN,
+    ),
+    "stream_stateful_first_seen": (
+        _stream_stateful_first_seen,
+        oracles.STREAM_STATEFUL_FIRST_SEEN,
     ),
     # dedup sketches + similarity search
     "ngram_jaccard_pairs": (

@@ -106,3 +106,68 @@ def q_stream_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(stream, "frontier_drain")
+
+
+def q_stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per
+    (user_id, event_type) keep the first-ever event — the streaming twin
+    of the frontier's URL-seen dedupe (D1), where state is the per-key
+    seen marker that outlives micro-batches.
+
+    Driven with availableNow over the static events table, so the
+    converged result equals the batch GROUP BY min oracle.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    schema = load(spark, sf_dir, "events").schema
+    out_schema = (
+        "user_id long, event_type string, first_event_id long, n_seen long"
+    )
+    state_schema = "first_event_id long, n_seen long"
+
+    def first_seen(key, pdfs, state):
+        first = None
+        n = 0
+        if state.exists:
+            first, n = state.get
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            m = int(pdf["event_id"].min())
+            first = m if first is None else min(first, m)
+            n += len(pdf)
+        state.update((first, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "first_event_id": [first],
+                "n_seen": [n],
+            }
+        )
+
+    stream = (
+        _read_events_stream(spark, sf_dir, schema)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    global _MEM_SINK_SEQ
+    _MEM_SINK_SEQ += 1
+    name = f"stateful_first_seen_{_MEM_SINK_SEQ}"
+    ckpt = tempfile.mkdtemp(prefix=f"gcs_stream_{name}_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
