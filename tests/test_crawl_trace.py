@@ -160,3 +160,43 @@ def test_shuffle_fetch_strategy_same_results(spark):
     ]
     expect = [(rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace]
     assert got == expect
+
+
+def test_scaled_payload_end_to_end(spark):
+    """img_scale=2 corpora (4x pixel count, ids carry '@x2') must pass
+    the full decode/verify invariant through the engine."""
+    spec = CorpusSpec(n_hosts=2, lists_per_host=1, pages_per_list=2,
+                      details_per_page=4, fail_pct=0, img_scale=2)
+    cfg = CrawlConfig(round_seconds=100.0, per_page=4, max_rounds=10)
+    golden = simulate(spec, cfg)
+    eng = CrawlEngine(
+        spark, cfg,
+        corpus.build_corpus(spark, spec),
+        corpus.build_robots(spark, spec, cfg.disallow),
+    )
+    res = eng.run(spec=spec)
+    assert {r["url"] for r in res.frontier.select("url").collect()} == golden.seen
+    rows = res.pages.collect()
+    assert rows, "no pages decoded"
+    for r in rows:
+        assert r["image_id"].endswith("@x2")
+        assert 48 <= r["w"] <= 128 and 48 <= r["h"] <= 128  # base [24,64] × 2
+        assert r["pixels_ok"] and r["caption_ok"] and r["psnr_db"] >= 40.0
+
+
+def test_config_eager_validation():
+    """crawler_config.go-style eager validation (SURVEY §1.2)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CorpusSpec(n_hosts=0)
+    with _pytest.raises(ValueError):
+        CorpusSpec(dup_frac=0.0)
+    with _pytest.raises(ValueError):
+        CorpusSpec(fail_pct=100)
+    with _pytest.raises(ValueError):
+        CrawlConfig(round_seconds=0)
+    with _pytest.raises(ValueError):
+        CrawlConfig(max_rounds=0)
+    with _pytest.raises(ValueError):
+        CrawlConfig(bloom_shards=0)
