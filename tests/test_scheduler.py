@@ -59,3 +59,21 @@ def test_budget_floor_semantics(spark):
     delays = {f"h{i:04d}.example.com": (1.0, 2.0, 5.0)[i % 3] for i in range(6)}
     for host, budget in rows.items():
         assert budget == cfg.budget(delays[host])
+
+
+def test_empty_seed_list_terminates(spark):
+    """No valid seeds → zero rounds, empty frontier, no crash."""
+    from go_crawler_spark.crawl import corpus as cm
+    from go_crawler_spark.crawl.config import CorpusSpec
+
+    spec = CorpusSpec(n_hosts=2, lists_per_host=1, pages_per_list=2,
+                      details_per_page=2)
+    cfg = CrawlConfig(round_seconds=10.0, max_rounds=5)
+    eng = CrawlEngine(
+        spark, cfg, cm.build_corpus(spark, spec),
+        cm.build_robots(spark, spec, cfg.disallow),
+    )
+    res = eng.run(seed_list=[(0, "not a url"), (1, "ftp://nope/x")])
+    assert res.metrics == []
+    assert res.frontier.count() == 0
+    assert res.trace.count() == 0
