@@ -209,8 +209,14 @@ class CrawlEngine:
     # -- one round -----------------------------------------------------
 
     def _dequeue(self, pending: DataFrame) -> DataFrame:
+        # Hosts absent from robots_df default to the budget for the
+        # default crawl-delay 1.0 — the SAME rule the simulator applies
+        # (simulator.py: delays.get(host, 1.0) → cfg.budget), so corpora
+        # whose robots table doesn't cover every host cannot diverge.
+        # robots_df's per-host disallow must equal cfg.disallow (corpus.
+        # build_robots guarantees it); the simulator uses the global set.
         salted = pending.join(self.budgets.drop("disallow"), "host", "left").withColumn(
-            "budget", F.coalesce("budget", F.lit(1))
+            "budget", F.coalesce("budget", F.lit(self.cfg.budget(1.0)))
         ).withColumn(
             "salt", F.pmod(F.xxhash64("url_hash"), F.lit(self.cfg.host_salt_buckets))
         )
@@ -258,7 +264,9 @@ class CrawlEngine:
                 "base_url", "depth", "seq_path",
                 (F.size("outlinks") + F.col("page_no") - 2).alias("link_idx"),
                 F.concat(
-                    F.regexp_replace("base_url", r"\?p=\d+$", ""),
+                    # strip the whole query — same rule as the simulator's
+                    # url.split('?', 1)[0] (one definition of page-one)
+                    F.regexp_replace("base_url", r"\?.*$", ""),
                     F.lit("?p="),
                     F.col("page_no"),
                 ).alias("href"),  # buildPaginatedURL query-mode (B7)

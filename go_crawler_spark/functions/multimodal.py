@@ -90,7 +90,11 @@ def q_image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     The two mapInPandas stages model the real shape: stage 1 is the
     "fetch" producing binary + typed metadata, stage 2 consumes binary
     without ever surfacing pixels to the JVM."""
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    # deterministic subset (doc_id < 200), NOT limit(200): the golden
+    # VALUES oracle (oracles.IMAGE_META_EXTRACT) pins these exact rows
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 200
+    )
 
     def synth(batches):
         for pdf in batches:

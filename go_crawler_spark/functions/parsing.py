@@ -280,6 +280,72 @@ def q_page_one_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attr_extract_empty_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: CSS attribute extraction with empty-value skip.
+
+    The reference's ExtractAttribute collects the attribute of every
+    selector match and silently drops empty values
+    (/root/reference/internal/infra/html_document.go:84-98; the caller
+    skips empties at browser_client.go:270-272). Graft analog: all
+    href captures of an anchor pattern, empties filtered — the
+    ``array_compact``-style semantics of SURVEY §2 E2, all JVM-side."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    second = F.when(k % 3 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/b/"), k.cast("string"))
+    )
+    third = F.when(k % 2 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/q/"), k.cast("string"))
+    )
+    html = F.concat(
+        F.lit('<a href="/p/'), k.cast("string"), F.lit('">x</a>'),
+        F.lit('<a href="'), second, F.lit('">y</a>'),
+        F.lit('<a href="'), third, F.lit('">z</a>'),
+    )
+    attrs = F.filter(
+        F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1),
+        lambda v: v != "",
+    )
+    return part.select(
+        "p_partkey",
+        html.alias("html"),
+        F.size(attrs).cast("long").alias("n_attrs"),
+        F.array_join(attrs, ",").alias("attrs_joined"),
+    )
+
+
+def q_query_reencode_multiparam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 (query mode, full fidelity): multi-param query re-encode.
+
+    Go's url.Values.Set("p", page) + Encode() re-emits ALL query params
+    sorted by key (/root/reference/internal/usecase/crawler.go:487-495)
+    — a base with several params gets alphabetically re-ordered, not
+    just suffixed. Re-expressed as split → drop old p → append new →
+    array_sort → join. Param values here are alphanumeric, so Go's
+    percent-escaping is the identity; whole-string sort equals Go's
+    key sort because '=' (0x3D) < any key character."""
+    part = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    page = (F.col("p_size") % 20 + 1).cast("string")
+    base = F.concat(
+        F.lit("https://x.example.com/list?page_size=20&q=term"),
+        k.cast("string"),
+        F.when(k % 2 == 0, F.concat(F.lit("&p="), (k % 7 + 2).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    path = F.substring_index(base, "?", 1)
+    params = F.split(F.substring_index(base, "?", -1), "&")
+    kept = F.filter(params, lambda x: ~x.startswith("p="))
+    new_params = F.array_sort(
+        F.concat(kept, F.array(F.concat(F.lit("p="), page)))
+    )
+    return part.select(
+        "p_partkey",
+        base.alias("base_url"),
+        F.concat(path, F.lit("?"), F.array_join(new_params, "&")).alias("page_url"),
+    )
+
+
 def q_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12: CrawlJob record ⟷ JSON codec round-trip
     (/root/reference/internal/infra/model.go:13-28 — the Redis value is

@@ -349,14 +349,59 @@ SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
 FROM th
 """
 
+from go_crawler_spark.functions.similarity import (  # noqa: E402
+    NEARDUP_BITS,
+    NEARDUP_DUP_OFFSET,
+    NEARDUP_TABLES,
+    NEARDUP_THRESHOLD,
+)
+
+# Multi-table sign-LSH near-dup (mirror of q_embedding_neardup): planted
+# perturbed copies, T×B hyperplane signs, (tbl, bucket) candidate join,
+# exact cosine rerank. Hyperplane k regenerated from the same integer
+# formula; all double folds in the same left-to-right order.
 EMBEDDING_NEARDUP = f"""
-WITH e AS (
-  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings)
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings),
+dups AS (
+  SELECT orig + {NEARDUP_DUP_OFFSET} AS vec_id,
+         list_transform(generate_series(0, 63),
+           i -> CAST(emb[i + 1] AS DOUBLE)
+                + CAST((orig * 31 + i) % 7 - 3 AS DOUBLE) * 0.002) AS embedding
+  FROM (SELECT vec_id AS orig, embedding AS emb
+        FROM embeddings WHERE vec_id % 10 = 7)),
+corpus AS (
+  SELECT * FROM base UNION ALL SELECT * FROM dups),
+signs AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, {NEARDUP_TABLES * NEARDUP_BITS - 1}),
+           k -> CASE WHEN list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, 64),
+                    i -> embedding[i] *
+                         CAST((k * 8191 + (i - 1) * 127 + 13) % 2003 - 1001
+                              AS DOUBLE))),
+                  (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END) AS s
+  FROM corpus),
+keyed AS (
+  SELECT vec_id, tbl,
+         CAST(list_sum(list_transform(generate_series(1, {NEARDUP_BITS}),
+           b -> s[tbl * {NEARDUP_BITS} + b] * (1 << (b - 1)))) AS BIGINT) AS bucket
+  FROM signs, unnest(generate_series(0, {NEARDUP_TABLES - 1})) AS u(tbl)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keyed a JOIN keyed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+e AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM corpus)
 SELECT vec_a, vec_b, cos_sim FROM (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos_sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-WHERE cos_sim >= 0.45
+  SELECT c.vec_a, c.vec_b,
+         round({_dot_sql('ea.embedding', 'eb.embedding')} / (ea.nrm * eb.nrm), 6)
+           AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b)
+WHERE cos_sim >= {NEARDUP_THRESHOLD}
 """
 
 ANN_COSINE_TOPK = f"""
@@ -550,12 +595,126 @@ SELECT c_custkey, loc_raw, pref_code,
 FROM matched
 """
 
+# --- full 26-column scraper pipeline (A14-16 + E1-E17 composed) --------------
+# Independent-derivation oracle: scraper.synth_page_text plants every
+# field as a deterministic function of doc_id, so the oracle derives the
+# expected 26 columns DIRECTLY from doc_id (it never runs the extraction
+# regexes) — composition bugs in the Spark pipeline (alias drift, null
+# rendering, normalization order) cannot cancel out. Locations go
+# through the same prefecture-VALUES join + city regex as LOCATION_PARSE
+# because min-code disambiguation (東京都 ⊃ 京都 shadow) is part of the
+# contract under test.
+
+_CITY_SQL = (
+    "NULLIF(regexp_replace(regexp_extract({raw}, "
+    "'(?:都|道|府|県)[\\s ]*(\\S+?[市区町村])', 1), "
+    "'^[\\pP\\pS]+|[\\pP\\pS]+$', '', 'g'), '')"
+)
+
+
+def _loc_cte(name: str, raw: str) -> str:
+    return f"""{name} AS (
+  SELECT f.d, min(p.pref_code) AS pref_code,
+         min(p.pref_code || '|' || p.pref_name) AS codename
+  FROM fields f LEFT JOIN prefs p
+    ON contains(f.{raw}, p.pref_name) OR contains(f.{raw}, p.short_name)
+  GROUP BY f.d)"""
+
+
+JOB_POSTING_CSV = f"""
+WITH fields AS (
+  SELECT doc_id AS d,
+    '会社' || CAST(doc_id % 97 AS VARCHAR)                        AS company,
+    '求人タイトル' || CAST(doc_id AS VARCHAR)                     AS title,
+    'https://jobs.example.com/detail/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN '東京都港区'      WHEN 1 THEN '大阪府堺市'
+      WHEN 2 THEN '福岡県久留米市'  WHEN 3 THEN '北海道函館市'
+      ELSE '愛知県豊田市' END                                      AS loc_raw,
+    CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN '東京都千代田区丸の内' WHEN 1 THEN '奈良県奈良市'
+      WHEN 2 THEN '大阪府吹田市'         WHEN 3 THEN '沖縄県那覇市'
+      WHEN 4 THEN '京都市伏見区'         WHEN 5 THEN '広島県広島市中区'
+      ELSE '海外(シンガポール)' END                                AS hq_loc_raw,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '正社員' WHEN 1 THEN '契約社員'
+      WHEN 2 THEN 'アルバイト' ELSE '業務委託' END                  AS job_type,
+    CAST(CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN (doc_id % 30 + 18) * 10000
+      WHEN 1 THEN (doc_id % 200 + 300) * 10000
+      ELSE (doc_id % 10 + 9) * 100 END AS BIGINT)                 AS salary_min,
+    CAST(CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN (doc_id % 30 + 25) * 10000
+      WHEN 1 THEN (doc_id % 200 + 400) * 10000
+      ELSE (doc_id % 10 + 12) * 100 END AS BIGINT)                AS salary_max,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN '月給' WHEN 1 THEN '年給' ELSE '時給' END         AS salary_unit,
+    printf('2024-%02d-15', doc_id % 9 + 1)                        AS posted_at,
+    'Webサービスの開発運用' || CAST(doc_id AS VARCHAR)             AS job_description,
+    CAST(doc_id % 2 + 1 AS BIGINT)                                AS raise_count,
+    CAST(doc_id % 3 + 1 AS BIGINT)                                AS bonus_count,
+    '配属チームは' || CAST(doc_id % 20 + 3 AS VARCHAR) || '名規模'  AS job_detail,
+    '開発経験' || CAST(doc_id % 5 + 1 AS VARCHAR) || '年以上'       AS requirements,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'リモート' WHEN 1 THEN '出社'
+      WHEN 2 THEN 'ハイブリッド' ELSE 'リモート' END                AS workplace,
+    CAST(doc_id % 15 + 105 AS BIGINT)                             AS annual_holidays,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN '完全週休二日制' WHEN 1 THEN '週休二日制'
+      ELSE 'シフト制' END                                          AS holiday_policy,
+    CAST(doc_id % 3 + 8 AS VARCHAR) || ':00~18:00'                AS work_hours,
+    '社会保険完備、交通費支給'
+      || CASE WHEN doc_id % 2 = 0 THEN '、住宅手当' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '、退職金制度' ELSE '' END   AS benefits_raw
+  FROM documents),
+prefs(pref_code, pref_name, short_name) AS (
+  VALUES
+    {_PREF_VALUES}),
+{_loc_cte('loc', 'loc_raw')},
+{_loc_cte('hq', 'hq_loc_raw')}
+SELECT
+  f.company                                                AS "会社名",
+  f.title                                                  AS "タイトル",
+  f.url                                                    AS "URL",
+  COALESCE(l.pref_code, '')                                AS "勤務地(都道府県コード)",
+  COALESCE(CASE WHEN l.pref_code IS NOT NULL
+                THEN string_split(l.codename, '|')[2] END, '') AS "勤務地(都道府県)",
+  COALESCE(CASE WHEN l.pref_code IS NOT NULL
+                THEN {_CITY_SQL.format(raw='f.loc_raw')} END, '') AS "勤務地(市区町村)",
+  COALESCE(f.loc_raw, '')                                  AS "勤務地(原文)",
+  COALESCE(h.pref_code, '')                                AS "本社(都道府県コード)",
+  COALESCE(CASE WHEN h.pref_code IS NOT NULL
+                THEN string_split(h.codename, '|')[2] END, '') AS "本社(都道府県)",
+  COALESCE(CASE WHEN h.pref_code IS NOT NULL
+                THEN {_CITY_SQL.format(raw='f.hq_loc_raw')} END, '') AS "本社(市区町村)",
+  COALESCE(f.hq_loc_raw, '')                               AS "本社(原文)",
+  f.job_type                                               AS "雇用形態",
+  CAST(f.salary_min AS VARCHAR)                            AS "給与(下限)",
+  CAST(f.salary_max AS VARCHAR)                            AS "給与(上限)",
+  f.salary_unit                                            AS "給与(単位)",
+  f.posted_at                                              AS "投稿日",
+  f.job_description                                        AS "職務内容",
+  CAST(f.raise_count AS VARCHAR)                           AS "昇給",
+  CAST(f.bonus_count AS VARCHAR)                           AS "賞与",
+  f.job_detail                                             AS "業務内容詳細",
+  f.requirements                                           AS "応募要件",
+  f.workplace                                              AS "勤務形態",
+  CAST(f.annual_holidays AS VARCHAR)                       AS "年間休日",
+  f.holiday_policy                                         AS "休日・休暇",
+  f.work_hours                                             AS "勤務時間",
+  f.benefits_raw                                           AS "福利厚生(原文)"
+FROM fields f
+JOIN loc l ON l.d = f.d
+JOIN hq  h ON h.d = f.d
+"""
+
 # --- streaming family --------------------------------------------------------
 # availableNow over a static source converges to the batch windowed
 # aggregate — the oracle is the plain GROUP BY the stream must equal.
 
 STREAM_WINDOWED_COUNTS = """
-SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                               * 1000000),
                 '%Y-%m-%d %H:%M:%S')         AS win_start,
        event_type,
        CAST(count(*) AS BIGINT)              AS n_events,
@@ -613,6 +772,48 @@ SELECT p_partkey, raw_url,
 FROM raws
 """
 
+ATTR_EXTRACT_EMPTY_SKIP = """
+WITH rendered AS (
+  SELECT p_partkey,
+         '<a href="/p/' || CAST(p_partkey AS VARCHAR) || '">x</a>'
+         || '<a href="'
+         || CASE WHEN p_partkey % 3 = 0 THEN ''
+                 ELSE '/b/' || CAST(p_partkey AS VARCHAR) END
+         || '">y</a>'
+         || '<a href="'
+         || CASE WHEN p_partkey % 2 = 0 THEN ''
+                 ELSE '/q/' || CAST(p_partkey AS VARCHAR) END
+         || '">z</a>' AS html
+  FROM part),
+extracted AS (
+  SELECT p_partkey, html,
+         list_filter(regexp_extract_all(html, 'href="([^"]*)"', 1),
+                     v -> v <> '') AS attrs
+  FROM rendered)
+SELECT p_partkey, html,
+       CAST(len(attrs) AS BIGINT)    AS n_attrs,
+       array_to_string(attrs, ',')   AS attrs_joined
+FROM extracted
+"""
+
+QUERY_REENCODE_MULTIPARAM = """
+WITH rendered AS (
+  SELECT p_partkey, CAST(p_size % 20 + 1 AS VARCHAR) AS page,
+         'https://x.example.com/list?page_size=20&q=term'
+         || CAST(p_partkey AS VARCHAR)
+         || CASE WHEN p_partkey % 2 = 0
+                 THEN '&p=' || CAST(p_partkey % 7 + 2 AS VARCHAR)
+                 ELSE '' END AS base_url
+  FROM part)
+SELECT p_partkey, base_url,
+       split_part(base_url, '?', 1) || '?' ||
+       array_to_string(list_sort(list_append(
+         list_filter(string_split(split_part(base_url, '?', 2), '&'),
+                     x -> NOT starts_with(x, 'p=')),
+         'p=' || page), 'ASC'), '&') AS page_url
+FROM rendered
+"""
+
 JSON_CODEC = """
 WITH rec AS (
   SELECT o_orderkey,
@@ -667,6 +868,48 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
   FROM cand)
 WHERE rank <= 3
+"""
+
+# --- multimodal golden oracle ------------------------------------------------
+# The image codec is sha-seeded and not expressible in SQL, so the
+# oracle is a golden VALUES table generated at import time by the same
+# pure-Python codec the kernel wraps (deterministic function of doc_id,
+# ~0.2 s for 200 rows). This checks the SPARK side end-to-end — the two
+# mapInPandas stages, Arrow schemas, batch iteration, and that the
+# distributed run reproduces the single-process truth — not the codec
+# against itself.
+
+
+def _image_meta_golden_values() -> str:
+    from go_crawler_spark.crawl import codec as _codec
+    from go_crawler_spark.functions.multimodal import resize_nn as _resize
+
+    rows = []
+    for did in range(200):
+        p = _codec.payload_for(f"doc-{did}")
+        px, fmt = _codec.decode(p["bytes"])
+        thumb = _resize(px, 16, 16)
+        rows.append(
+            f"({did}, {len(p['bytes'])}, {px.shape[1]}, {px.shape[0]}, "
+            f"'{fmt}', {_codec.phash64(px)}, 16, 16, {_codec.phash64(thumb)})"
+        )
+    return ",\n    ".join(rows)
+
+
+IMAGE_META_EXTRACT = f"""
+WITH golden(doc_id, n_bytes, w, h, fmt, phash, thumb_w, thumb_h, thumb_phash) AS (
+  VALUES
+    {_image_meta_golden_values()})
+SELECT CAST(g.doc_id AS BIGINT)      AS doc_id,
+       CAST(g.n_bytes AS INT)        AS n_bytes,
+       CAST(g.w AS INT)              AS w,
+       CAST(g.h AS INT)              AS h,
+       g.fmt                         AS fmt,
+       CAST(g.phash AS BIGINT)       AS phash,
+       CAST(g.thumb_w AS INT)        AS thumb_w,
+       CAST(g.thumb_h AS INT)        AS thumb_h,
+       CAST(g.thumb_phash AS BIGINT) AS thumb_phash
+FROM golden g JOIN documents d ON d.doc_id = g.doc_id
 """
 
 EXACT_DEDUP = """

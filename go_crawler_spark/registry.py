@@ -88,15 +88,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         parsing.q_page_one_normalize,
         oracles.PAGE_ONE_NORMALIZE,
     ),
+    # E2 attr extraction (empty-skip) + B7 full query re-encode
+    "attr_extract_empty_skip": (
+        parsing.q_attr_extract_empty_skip,
+        oracles.ATTR_EXTRACT_EMPTY_SKIP,
+    ),
+    "query_reencode_multiparam": (
+        parsing.q_query_reencode_multiparam,
+        oracles.QUERY_REENCODE_MULTIPARAM,
+    ),
     "json_codec": (parsing.q_json_codec, oracles.JSON_CODEC),
     # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
     "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),
     "raise_bonus": (extraction.q_raise_bonus, oracles.RAISE_BONUS),
     "benefits_flags": (extraction.q_benefits_flags, oracles.BENEFITS_FLAGS),
     "location_parse": (extraction.q_location_parse, oracles.LOCATION_PARSE),
-    # full scraper pipeline (A14-16 + E1-E17 composed; rows-only — the
-    # component ops above are each oracle-paired)
-    "job_posting_csv": (_job_posting_csv, None),
+    # full scraper pipeline (A14-16 + E1-E17 composed; independent-
+    # derivation oracle — expected columns computed straight from doc_id)
+    "job_posting_csv": (_job_posting_csv, oracles.JOB_POSTING_CSV),
     # text analysis (training-data ops)
     "exact_dedup": (textstats.q_exact_dedup, oracles.EXACT_DEDUP),
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
@@ -129,8 +138,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
     "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
     "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
-    # multimodal binary-column plumbing (rows-only: codec is sha-seeded)
-    "image_meta_extract": (multimodal.q_image_meta_extract, None),
+    # multimodal binary-column plumbing (golden VALUES oracle generated
+    # by the same pure-Python codec — checks the Spark plumbing e2e)
+    "image_meta_extract": (
+        multimodal.q_image_meta_extract,
+        oracles.IMAGE_META_EXTRACT,
+    ),
 }
 
 

@@ -63,7 +63,21 @@ FIELD_PATTERNS = {
     "posted_text": r"\d{4}年\d{2}月\d{2}日|\d{4}/\d{2}/\d{2}|\d{4}-\d{2}-\d{2}",
     "holidays_text": r"年間休日\d+日",
     "hours_text": r"\d{1,2}:\d{2}\s*[~～]\s*\d{1,2}:\d{2}",
+    # labeled-segment fields (selector analogs; value = the non-space
+    # run after the label, first match wins)
+    "loc": r"勤務地[:：](\S+)",
+    "hq_loc": r"本社[:：](\S+)",  # second Location — job_posting.go:24-25
+    "job_description": r"仕事内容[:：](\S+)",
+    "job_detail": r"詳細[:：](\S+)",
+    "requirements": r"応募要件[:：](\S+)",
+    "benefits": r"福利厚生[:：](\S+)",
 }
+
+
+def _labeled(text: Column, key: str) -> Column:
+    """Group-1 of the first match of a labeled-segment pattern; NULL if
+    the label is absent (ExtractText empty → nil field)."""
+    return F.nullif(F.regexp_extract(text, FIELD_PATTERNS[key], 1), F.lit(""))
 
 
 def job_posting_frame(pages: DataFrame, text_col: str, url_col: str) -> DataFrame:
@@ -99,6 +113,12 @@ def job_posting_frame(pages: DataFrame, text_col: str, url_col: str) -> DataFram
             extract_first(text, FIELD_PATTERNS["holidays_text"])
         ).alias("annual_holidays"),
         extract_first(text, FIELD_PATTERNS["hours_text"]).alias("work_hours"),
+        _labeled(text, "loc").alias("loc_raw"),
+        _labeled(text, "hq_loc").alias("hq_loc_raw"),
+        _labeled(text, "job_description").alias("job_description"),
+        _labeled(text, "job_detail").alias("job_detail"),
+        _labeled(text, "requirements").alias("requirements"),
+        _labeled(text, "benefits").alias("benefits_raw"),
         *[c.alias(name) for name, c in flags.items()],
     )
     # strip the 【】 capture leftovers: regexp_extract_all returns the
@@ -158,56 +178,109 @@ def write_csv(df26: DataFrame, path: str) -> None:
     df26.write.mode("overwrite").option("header", True).csv(path)
 
 
+def synth_page_text(doc_id: Column) -> Column:
+    """Deterministic job-posting page text per doc_id.
+
+    Every field the 26-column projection extracts is present as a
+    labeled or pattern-recognizable segment, with doc_id-keyed variety
+    on each axis. The text uses ASCII digits/colons/tilde and ideographs
+    only, so ``normalize_string_native`` is the identity on it — which
+    is what lets the DuckDB oracle (oracles.JOB_POSTING_CSV) replay the
+    exact pipeline on the raw rendered string."""
+    d = doc_id
+    loc = (
+        F.when(d % 5 == 0, "東京都港区").when(d % 5 == 1, "大阪府堺市")
+        .when(d % 5 == 2, "福岡県久留米市").when(d % 5 == 3, "北海道函館市")
+        .otherwise(F.lit("愛知県豊田市"))
+    )
+    hq = (
+        F.when(d % 7 == 0, "東京都千代田区丸の内")
+        .when(d % 7 == 1, "奈良県奈良市")
+        .when(d % 7 == 2, "大阪府吹田市")
+        .when(d % 7 == 3, "沖縄県那覇市")
+        .when(d % 7 == 4, "京都市伏見区")  # short-name-only match (E16 shadow)
+        .when(d % 7 == 5, "広島県広島市中区")
+        .otherwise(F.lit("海外(シンガポール)"))  # no prefecture → NULL loc
+    )
+    job_type = (
+        F.when(d % 4 == 0, "正社員").when(d % 4 == 1, "契約社員")
+        .when(d % 4 == 2, "アルバイト").otherwise(F.lit("業務委託"))
+    )
+    salary = (
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("月給"), (d % 30 + 18).cast("string"), F.lit("万円~"),
+                     (d % 30 + 25).cast("string"), F.lit("万円")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("年収"), (d % 200 + 300).cast("string"), F.lit("万円~"),
+                     (d % 200 + 400).cast("string"), F.lit("万円")),
+        )
+        .otherwise(
+            F.concat(F.lit("時給"), ((d % 10 + 9) * 100).cast("string"), F.lit("円~"),
+                     ((d % 10 + 12) * 100).cast("string"), F.lit("円")),
+        )
+    )
+    benefits = F.concat(
+        F.lit("社会保険完備、交通費支給"),
+        F.when(d % 2 == 0, "、住宅手当").otherwise(F.lit("")),
+        F.when(d % 4 == 0, "、退職金制度").otherwise(F.lit("")),
+    )
+    holiday = (
+        F.when(d % 3 == 0, "完全週休二日制").when(d % 3 == 1, "週休二日制")
+        .otherwise(F.lit("シフト制"))
+    )
+    workplace = (
+        F.when(d % 4 == 0, "リモート").when(d % 4 == 1, "出社")
+        .when(d % 4 == 2, "ハイブリッド").otherwise(F.lit("在宅"))
+    )
+    mm = F.format_string("%02d", d % 9 + 1)
+    posted = (
+        F.when(d % 3 == 0, F.concat(F.lit("2024年"), mm, F.lit("月15日")))
+        .when(d % 3 == 1, F.concat(F.lit("2024/"), mm, F.lit("/15")))
+        .otherwise(F.concat(F.lit("2024-"), mm, F.lit("-15")))
+    )
+    return F.concat(
+        F.lit("【会社"), (d % 97).cast("string"), F.lit("】"),
+        F.lit("求人タイトル"), d.cast("string"),
+        F.lit(" 勤務地:"), loc,
+        F.lit(" 本社:"), hq,
+        F.lit(" "), job_type,
+        F.lit(" "), salary,
+        F.lit(" 昇給/年"), (d % 2 + 1).cast("string"),
+        F.lit("回 賞与/年"), (d % 3 + 1).cast("string"), F.lit("回"),
+        F.lit(" 福利厚生:"), benefits,
+        F.lit(" 年間休日"), (d % 15 + 105).cast("string"), F.lit("日"),
+        F.lit(" "), holiday,
+        F.lit(" "), (d % 3 + 8).cast("string"), F.lit(":00~18:00"),
+        F.lit(" "), workplace,
+        F.lit(" "), posted,
+        F.lit(" 仕事内容:Webサービスの開発運用"), d.cast("string"),
+        F.lit(" 詳細:配属チームは"), (d % 20 + 3).cast("string"), F.lit("名規模"),
+        F.lit(" 応募要件:開発経験"), (d % 5 + 1).cast("string"), F.lit("年以上"),
+    )
+
+
 def scrape_documents(spark, sf_dir: str) -> DataFrame:
-    """Driver-contract query (rows-only): full scraper pipeline over a
-    synthesized job-posting page per documents row."""
+    """Driver-contract query (oracle-paired: oracles.JOB_POSTING_CSV):
+    the full 26-column scraper pipeline over a synthesized job-posting
+    page per documents row — all 26 columns computed, none constant.
+
+    Two ``with_location`` passes (勤務地 + 本社) mirror the reference's
+    two Location structs (internal/domain/model/job_posting.go:24-25,
+    scraper.go:182-381); HQ runs first so the second pass's un-prefixed
+    pref_code/pref_name/city columns are the 勤務地 ones."""
     from go_crawler_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    k = F.col("doc_id") % 5
-    loc = (
-        F.when(k == 0, "東京都港区").when(k == 1, "大阪府堺市")
-        .when(k == 2, "福岡県久留米市").when(k == 3, "北海道函館市")
-        .otherwise("愛知県豊田市")
-    )
-    page_text = F.concat(
-        F.lit("【会社"), (F.col("doc_id") % 97).cast("string"), F.lit("】"),
-        F.lit("求人タイトル"), F.col("doc_id").cast("string"), F.lit(" "),
-        loc, F.lit(" 正社員 月給"), (F.col("doc_id") % 30 + 18).cast("string"),
-        F.lit("万円~"), (F.col("doc_id") % 30 + 25).cast("string"),
-        F.lit("万円 昇給/年1回 賞与/年"), (F.col("doc_id") % 3 + 1).cast("string"),
-        F.lit("回 社会保険完備、交通費支給 年間休日1"),
-        (F.col("doc_id") % 10 + 10).cast("string"),
-        F.lit("日 完全週休二日制 9:00~18:00 リモート 2024年0"),
-        (F.col("doc_id") % 9 + 1).cast("string"), F.lit("月15日"),
-    )
     pages = docs.select(
         F.format_string("https://jobs.example.com/detail/%d", "doc_id").alias("url"),
-        page_text.alias("page_text"),
-        loc.alias("loc_raw"),
+        synth_page_text(F.col("doc_id")).alias("page_text"),
     )
     jp = job_posting_frame(pages, "page_text", "url")
-    jp = jp.join(pages.select("url", "loc_raw"), "url")
-    jp = with_location(jp, "loc_raw", spark)
-    # HQ fields: the reference extracts a second Location from another
-    # selector; same op, absent in this page template → empty
-    jp = (
-        jp.withColumn("hq_pref_code", F.lit(None).cast("string"))
-        .withColumn("hq_pref_name", F.lit(None).cast("string"))
-        .withColumn("hq_city", F.lit(None).cast("string"))
-        .withColumn("hq_loc_raw", F.lit(None).cast("string"))
-        .withColumn("job_description", F.lit(None).cast("string"))
-        .withColumn("job_detail", F.lit(None).cast("string"))
-        .withColumn("requirements", F.lit(None).cast("string"))
-        .withColumn(
-            "benefits_raw",
-            F.concat_ws(
-                ";",
-                *[
-                    F.when(F.col(name), F.lit(kw))
-                    for name, kw in BENEFIT_KEYWORDS
-                ],
-            ),
-        )
+    jp = with_location(jp, "hq_loc_raw", spark).withColumnsRenamed(
+        {"pref_code": "hq_pref_code", "pref_name": "hq_pref_name", "city": "hq_city"}
     )
+    jp = with_location(jp, "loc_raw", spark)
     return flatten_for_csv(jp)

@@ -170,4 +170,17 @@ def q_stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # update-mode memory sink appends one row per key per micro-batch; if
+    # availableNow ever splits the input (multiple fixture files /
+    # maxFilesPerTrigger), a key touched in two batches yields two rows.
+    # Collapse to the LAST update per key: n_seen is monotone increasing
+    # and first_event_id monotone non-increasing across updates, so
+    # (min(first_event_id), max(n_seen)) IS the final state.
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("first_event_id").alias("first_event_id"),
+            F.max("n_seen").alias("n_seen"),
+        )
+    )

@@ -102,13 +102,31 @@ def test_scraper_pipeline_columns(spark, sf_small):
 
     df = scrape_documents(spark, sf_small)
     assert tuple(df.columns) == CSV_HEADERS
-    rows = df.limit(20).collect()
-    assert len(rows) == 20
-    r = rows[5].asDict()
+    # doc 12: %4=0 正社員, %3=0 月給 range, %5=2 福岡, %7=5 広島 HQ, %2=0 住宅手当
+    r = df.filter(
+        F.col("URL") == "https://jobs.example.com/detail/12"
+    ).collect()[0].asDict()
     assert r["雇用形態"] == "正社員"
     assert r["給与(単位)"] == "月給"
-    assert r["タイトル"].startswith("求人タイトル")
-    assert r["勤務地(都道府県コード)"] != ""
+    assert r["給与(下限)"] == str((12 % 30 + 18) * 10000)
+    assert r["タイトル"] == "求人タイトル12"
+    assert r["勤務地(都道府県コード)"] == "40"  # 福岡県
+    assert r["勤務地(市区町村)"] == "久留米市"
+    assert r["本社(都道府県コード)"] == "34"  # 広島県
+    assert r["職務内容"] == "Webサービスの開発運用12"
+    assert r["応募要件"] == "開発経験3年以上"
+    assert r["福利厚生(原文)"] == "社会保険完備、交通費支給、住宅手当、退職金制度"
+    # no column is constant-"" rendered: every col non-empty somewhere
+    maxlen = df.select(
+        *[F.max(F.length(c)).alias(str(i)) for i, c in enumerate(df.columns)]
+    ).collect()[0]
+    empty_cols = [c for i, c in enumerate(df.columns) if not maxlen[str(i)]]
+    assert not empty_cols, empty_cols
+    # HQ case 6 (海外) renders empty pref/city but keeps the raw text
+    r6 = df.filter(
+        F.col("URL") == "https://jobs.example.com/detail/6"
+    ).collect()[0].asDict()
+    assert r6["本社(都道府県コード)"] == "" and r6["本社(原文)"] == "海外(シンガポール)"
 
 
 def test_multimodal_meta_extract(spark, sf_small):
@@ -137,3 +155,41 @@ def test_multimodal_meta_extract(spark, sf_small):
         decode_external(b"xx", "jpeg")
     with _pytest.raises(NotImplementedError):
         sample_frames(b"xx", 5)
+
+
+def test_embedding_neardup_recall_vs_bruteforce(spark, sf_small):
+    """The LSH-bucketed near-dup result must equal brute-force ground
+    truth on the planted corpus (recall 1.0 at test SF): candidates come
+    from (table, bucket) equi-joins, so this pins that no planted pair
+    slips through the T×B hyperplane tables — deterministic, not flaky,
+    because the hyperplanes are fixed integer constants."""
+    from go_crawler_spark.functions.similarity import (
+        NEARDUP_THRESHOLD,
+        cosine,
+        neardup_corpus,
+        q_embedding_neardup,
+    )
+    from go_crawler_spark.tables import load
+
+    got = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in q_embedding_neardup(spark, sf_small).collect()
+    }
+    corpus = neardup_corpus(
+        load(spark, sf_small, "embeddings").select("vec_id", "embedding")
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    brute = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        .collect()
+    }
+    assert got == brute and len(brute) == 50  # one planted pair per vec_id%10==7
