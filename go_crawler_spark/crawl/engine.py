@@ -12,7 +12,9 @@ per-round DAG of SURVEY.md §3.2/§4:
     → posexplode outlinks + next-link + total-count pagination (B4-B7)
     → canonicalize kernel (B2+E4 — kernel #1)
     → first-writer-wins batch collapse (D3) → Bloom prefilter (kernel #2)
-    → exact left_anti vs frontier (D1) → append PENDING, flip statuses
+    → exact broadcast semi/anti vs the seen set (D1; the frontier is
+      only scanned map-side, never shuffled) → checkpoint the fresh
+      increment; the run loop updates the live queue + status log
     → metrics row; atomic round commit (store mode)
 
 Exactly three Python kernels run per round, all Arrow-batched; every
@@ -158,8 +160,34 @@ class CrawlResult:
     metrics: list[RoundStats] = field(default_factory=list)
 
     def ordered_trace(self) -> DataFrame:
-        w = Window.orderBy("round", "depth", "seq_path")
-        return self.trace.withColumn("pos", F.row_number().over(w) - 1)
+        """Total crawl order with a dense ``pos`` column.
+
+        Scale-safe: ranks WITHIN each round (parallel window over the
+        round partitions) and adds driver-side cumulative round offsets
+        — rounds are few, rows are many, so no single-task global sort
+        (the r1 version's unpartitioned Window.orderBy)."""
+        counts = {
+            r["round"]: r["count"]
+            for r in self.trace.groupBy("round").count().collect()
+        }
+        off, offsets = 0, {}
+        for rnd in sorted(counts):
+            offsets[rnd] = off
+            off += counts[rnd]
+        if not offsets:
+            return self.trace.withColumn("pos", F.lit(0))
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        w = Window.partitionBy("round").orderBy("depth", "seq_path")
+        return (
+            self.trace.withColumn("rk", F.row_number().over(w))
+            .withColumn(
+                "pos",
+                (F.col("rk") - 1 + omap[F.col("round")]).cast("int"),
+            )
+            .drop("rk")
+        )
 
 
 class CrawlEngine:
@@ -314,16 +342,23 @@ class CrawlEngine:
     def dedupe_new(
         self,
         allowed: DataFrame,
-        frontier: DataFrame,
+        seen_hashes: DataFrame,
         bloom: BloomShards | None,
         round_no: int,
     ) -> DataFrame:
         """Candidates (url, host, depth, seq_path) → fresh PENDING rows.
 
         D3 first-writer-wins collapse, then the two-tier seen check:
-        Bloom-negative rows skip the anti-join entirely (at 10^10 scale
-        the overwhelming majority of genuinely-new URLs), Bloom-positive
-        rows get the exact left_anti backstop (reference is exact, §1.4).
+        Bloom-negative rows skip the exact check entirely (at 10^10
+        scale the overwhelming majority of genuinely-new URLs);
+        Bloom-positive rows get the exact backstop (reference is exact,
+        §1.4). The exact check never shuffles the frontier: the round's
+        candidate set is politeness-bounded (≤ dequeued × fanout), so
+        the Bloom-positive keys BROADCAST, the 10^10-row seen set is
+        scanned map-side by a broadcast LeftSemi (at rest this scan is
+        the Iceberg bucket-pruned read), and the small seen subset
+        broadcasts back for the anti-join. Fallback for unbounded
+        rounds (cfg.broadcast_fetch=False): plain shuffle anti-join.
         """
         collapsed = (
             allowed.withColumn("url_hash", F.xxhash64("url"))
@@ -352,7 +387,17 @@ class CrawlEngine:
             definitely_new = None
             maybe = collapsed
 
-        survivors = maybe.join(frontier.select("url_hash"), "url_hash", "left_anti")
+        seen = seen_hashes.select("url_hash")
+        if self.cfg.broadcast_fetch:
+            # maybe appears in two jobs (semi build + anti probe); its
+            # upstream groupBy shuffle is reused across them, so only the
+            # post-shuffle bloom-probe map re-runs — no persist needed
+            seen_sub = seen.join(
+                F.broadcast(maybe.select("url_hash")), "url_hash", "left_semi"
+            )
+            survivors = maybe.join(F.broadcast(seen_sub), "url_hash", "left_anti")
+        else:
+            survivors = maybe.join(seen, "url_hash", "left_anti")
         return (
             survivors if definitely_new is None
             else definitely_new.unionByName(survivors)
@@ -364,22 +409,29 @@ class CrawlEngine:
 
     def run_round(
         self,
-        frontier: DataFrame,
+        pending: DataFrame,
+        seen_hashes: DataFrame,
         round_no: int,
         bloom: BloomShards | None,
         with_payload_verify: bool = True,
         light_metrics: bool = False,
     ) -> tuple[DataFrame, DataFrame, DataFrame | None, RoundStats]:
-        """Returns (new_frontier lazy, trace, pages, stats).
+        """Returns (fresh increment [checkpointed], trace, pages, stats).
+
+        ``pending`` is the live queue (PENDING rows only); ``seen_hashes``
+        is the url_hash set of every discovery ever (union of the
+        checkpointed increments) — the round only READS it, map-side.
+        Nothing here touches, rewrites, or re-materializes the full
+        frontier: per-round work is bounded by |pending| + |increment|.
 
         Action discipline (the driver loop is the engine's only
         iterative part, so per-round job count is the constant factor
         that survives to 10^10 scale): exactly four materializing
         actions per round — trace status counts, robots/candidate
-        counts, fresh count, and pages count — everything downstream
-        reuses those persisted frames."""
+        counts, fresh-increment checkpoint, and pages count —
+        everything downstream reuses those materialized frames."""
         dequeued = self._dequeue(
-            frontier.filter(F.col("status") == "PENDING")
+            pending.filter(F.col("status") == "PENDING")
         ).select("url_hash", "url", "host", "depth", "seq_path").persist()
 
         # The "fetch" join. The dequeued set is bounded by the politeness
@@ -468,18 +520,14 @@ class CrawlEngine:
             n_robots = int(reject_counts.get(True, 0))
         allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
 
-        fresh = self.dedupe_new(allowed, frontier, bloom, round_no).persist()
-        n_fresh = fresh.count()  # action 4
+        # action 4: checkpoint ONLY the fresh increment (bounded by the
+        # round's politeness budget × fanout) — the count afterwards
+        # reads the materialized blocks, it does not recompute
+        fresh = self.dedupe_new(
+            allowed, seen_hashes, bloom, round_no
+        ).localCheckpoint(eager=True)
+        n_fresh = fresh.count()
         t0 = _tlog("a4_dedupe_fresh", t0)
-
-        # status flips for dequeued rows (MERGE-on-read; store's status_log)
-        flips = trace.select("url_hash", F.col("status").alias("new_status"))
-        new_frontier = (
-            frontier.join(flips, "url_hash", "left")
-            .withColumn("status", F.coalesce("new_status", "status"))
-            .drop("new_status")
-            .unionByName(fresh)
-        )
 
         stats = RoundStats(
             round=round_no,
@@ -494,7 +542,7 @@ class CrawlEngine:
         hit.unpersist()
         if not light_metrics:
             flagged.unpersist()
-        return new_frontier, trace, pages, stats
+        return fresh, trace, pages, stats
 
     # -- full run ------------------------------------------------------
 
@@ -511,23 +559,35 @@ class CrawlEngine:
 
         start_round = 0
         if resume and self.store is not None and self.store.latest_step() >= 0:
-            frontier = self.store.current_frontier()
+            base = self.store.current_frontier()
             start_round = self.store.latest_step()  # step k+1 ⇒ rounds 0..k done
         else:
             if seed_list is None:
                 assert spec is not None, "need seeds or a corpus spec"
                 seed_list = corpus_seeds(spec)
-            frontier = self.frontier_from_seeds(seed_list)
+            base = self.frontier_from_seeds(seed_list)
             if self.store is not None:
-                self.store.append("frontier", frontier, 0)
+                self.store.append("frontier", base, 0)
                 self.store.commit_step(0)
 
-        frontier = frontier.localCheckpoint(eager=True)
+        # Merge-on-read, in memory (the twin of SnapshotStore's design):
+        # the frontier is carried as IMMUTABLE increments — the base
+        # (seeds or resumed snapshot) plus one checkpointed fresh batch
+        # per round — and the accumulated status-log (the traces).
+        # Nothing ever rewrites or re-checkpoints the full frontier; the
+        # only per-round materializations are the fresh increment
+        # (inside run_round) and the live queue below, so round cost
+        # stays flat as terminal rows accumulate instead of growing
+        # O(|frontier|) (the r1 in-memory loop's scale killer).
+        base = base.localCheckpoint(eager=True)
+        increments: list[DataFrame] = [base]
+        seen_hashes = base.select("url_hash")
+        pending_df = base.filter(F.col("status") == "PENDING")
         # pending count is maintained arithmetically across rounds —
         # no per-round full-frontier scan just to decide termination
-        pending = frontier.filter(F.col("status") == "PENDING").count()
+        pending = pending_df.count()
         bloom = (
-            BloomShards.build(frontier.select("url_hash"), cfg) if use_bloom else None
+            BloomShards.build(base.select("url_hash"), cfg) if use_bloom else None
         )
 
         traces: list[DataFrame] = []
@@ -537,14 +597,12 @@ class CrawlEngine:
         for k in range(start_round, start_round + cfg.max_rounds):
             if pending == 0:
                 break
-            new_frontier, trace, pages, stats = self.run_round(
-                frontier, k, bloom, with_payload_verify
+            fresh, trace, pages, stats = self.run_round(
+                pending_df, seen_hashes, k, bloom, with_payload_verify
             )
-            new_frontier = new_frontier.localCheckpoint(eager=True)
             if pages is not None:
                 pages_parts.append(pages)
             if self.store is not None:
-                fresh = new_frontier.filter(F.col("round") == k + 1)
                 self.store.append("frontier", fresh, k + 1)
                 self.store.append("status_log", trace, k + 1)
                 if pages is not None:
@@ -554,19 +612,30 @@ class CrawlEngine:
                 )
                 self.store.commit_step(k + 1)
             if bloom is not None and stats.enqueued > 0:
-                fresh_hashes = new_frontier.filter(F.col("round") == k + 1)
                 if stats.enqueued <= 1_000_000:
                     # politeness-bounded delta: collect 8B keys, set bits
                     # driver-side (one job, no shuffle)
-                    rows = fresh_hashes.select("url_hash").collect()
+                    rows = fresh.select("url_hash").collect()
                     bloom = bloom.with_hashes([r["url_hash"] for r in rows])
                 else:  # giant round: distributed build + OR-merge
                     bloom = bloom.union(
-                        BloomShards.build(fresh_hashes.select("url_hash"), cfg)
+                        BloomShards.build(fresh.select("url_hash"), cfg)
                     )
+            increments.append(fresh)
+            seen_hashes = seen_hashes.unionByName(fresh.select("url_hash"))
+            # live-queue update: drop the dequeued rows (politeness-
+            # bounded ⇒ they BROADCAST into a map-side anti-join), append
+            # the fresh increment; the checkpoint is O(|pending|) — the
+            # live queue — never O(|frontier|)
+            deq_keys = trace.select("url_hash")
+            deq_side = F.broadcast(deq_keys) if cfg.broadcast_fetch else deq_keys
+            pending_df = (
+                pending_df.join(deq_side, "url_hash", "left_anti")
+                .unionByName(fresh)
+                .localCheckpoint(eager=True)
+            )
             traces.append(trace)
             metrics.append(stats)
-            frontier = new_frontier
             pending += stats.enqueued - stats.dequeued
 
         if traces:
@@ -584,6 +653,25 @@ class CrawlEngine:
             all_pages = pages_parts[0]
             for p in pages_parts[1:]:
                 all_pages = all_pages.unionByName(p)
+
+        # final frontier: lazy merge-on-read view — union of the
+        # immutable increments ⟕ the last status flip per url_hash
+        # (exactly SnapshotStore.current_frontier's shape); consumers
+        # pay for the resolve only if they read it
+        all_disc = increments[0]
+        for inc in increments[1:]:
+            all_disc = all_disc.unionByName(inc)
+        if traces:
+            flips = all_trace.groupBy("url_hash").agg(
+                F.max_by("status", "round").alias("new_status")
+            )
+            frontier_view = (
+                all_disc.join(flips, "url_hash", "left")
+                .withColumn("status", F.coalesce("new_status", F.col("status")))
+                .drop("new_status")
+            )
+        else:
+            frontier_view = all_disc
         return CrawlResult(
-            frontier=frontier, trace=all_trace, pages=all_pages, metrics=metrics
+            frontier=frontier_view, trace=all_trace, pages=all_pages, metrics=metrics
         )

@@ -111,7 +111,7 @@ def run_kernel(
     )
     flagged = eng._discover(base)
     allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
-    fresh = eng.dedupe_new(allowed, pending, bloom, 0)
+    fresh = eng.dedupe_new(allowed, pending.select("url_hash"), bloom, 0)
     n_fresh = fresh.count()
     elapsed = time.time() - t0
     dequeued.unpersist()
@@ -194,12 +194,13 @@ def run_fetch_round(
     # one-time costs a real multi-round crawl amortizes and a
     # single-round measurement would otherwise mis-charge to throughput
     warm = pending.limit(2000).localCheckpoint(eager=True)
-    eng.run_round(warm, 0, bloom, with_payload_verify=True,
-                  light_metrics=True)
+    eng.run_round(warm, warm.select("url_hash"), 0, bloom,
+                  with_payload_verify=True, light_metrics=True)
 
     t0 = time.time()
     _, trace, pages, stats = eng.run_round(
-        pending, 0, bloom, with_payload_verify=True, light_metrics=light_metrics
+        pending, pending.select("url_hash"), 0, bloom,
+        with_payload_verify=True, light_metrics=light_metrics
     )
     elapsed = time.time() - t0
     n_pages = pages.count() if pages is not None else 0

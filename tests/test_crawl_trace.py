@@ -184,6 +184,41 @@ def test_scaled_payload_end_to_end(spark):
         assert r["pixels_ok"] and r["caption_ok"] and r["psnr_db"] >= 40.0
 
 
+def test_non_drained_politeness_boundary(spark):
+    """Hit max_rounds with work still pending: the trace, metrics, AND
+    the carried-over PENDING set must match the simulator exactly at
+    the boundary (r1 scenarios all drained fully — the politeness
+    carry-over was never checked against an undrained stop)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, max_rounds=3)
+    golden = simulate(SPEC, cfg)
+    leftover_expect = golden.seen - set(golden.final_status)
+    assert leftover_expect, "scenario must stop with work still pending"
+
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        corpus.build_corpus(spark, SPEC),
+        corpus.build_robots(spark, SPEC, cfg.disallow),
+    )
+    res = eng.run(spec=SPEC, with_payload_verify=False)
+    got_trace = [
+        (r["round"], r["url"], r["status"])
+        for r in res.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    assert got_trace == [
+        (rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace
+    ]
+    got = {
+        r["url"]: r["status"]
+        for r in res.frontier.select("url", "status").collect()
+    }
+    assert {u for u, s in got.items() if s == "PENDING"} == leftover_expect
+    assert [vars(m) for m in res.metrics] == golden.metrics
+
+
 def test_config_eager_validation():
     """crawler_config.go-style eager validation (SURVEY §1.2)."""
     import pytest as _pytest

@@ -68,6 +68,114 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def exchanged_columns(plan: str) -> set[str]:
+    """Column names that flow through any Exchange node (the shuffled
+    payload). Parses formatted-explain sections: '(n) Exchange' followed
+    by 'Input [k]: [col#id, ...]'."""
+    import re
+
+    cols: set[str] = set()
+    sections = re.split(r"\n\(\d+\) ", plan)
+    for sec in sections:
+        if not sec.startswith("Exchange"):
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+        if m:
+            for c in m.group(1).split(","):
+                cols.add(c.strip().split("#")[0])
+    return cols
+
+
+def audit_engine_round() -> int:
+    """Plan assertions for the engine's per-round DAG (VERDICT r1 #7):
+    the structural answer to 'does the round survive 100×' —
+    politeness dequeue stays a window (no global sort), the fetch join
+    broadcasts the politeness-bounded side, payload BYTES never enter
+    an Exchange, and the exact dedupe check is broadcast semi/anti (the
+    frontier side is scanned, never shuffled)."""
+    from go_crawler_spark.crawl import corpus as corpus_mod
+    from go_crawler_spark.crawl.config import CorpusSpec, CrawlConfig
+    from go_crawler_spark.crawl.engine import CrawlEngine
+    from go_crawler_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("explain_audit_engine", cpus=4, shuffle_partitions=4)
+    spec = CorpusSpec(n_hosts=3, lists_per_host=2, pages_per_list=3,
+                      details_per_page=6)
+    cfg = CrawlConfig(round_seconds=60.0, per_page=6, max_rounds=4)
+    corpus_df = corpus_mod.build_corpus(spark, spec)
+    robots_df = corpus_mod.build_robots(spark, spec, cfg.disallow)
+    eng = CrawlEngine(spark, cfg, corpus_df, robots_df)
+    pending = eng.frontier_from_seeds(corpus_mod.seeds(spec))
+    seen_hashes = pending.select("url_hash")
+
+    # stage frames exactly as run_round composes them (lazy, no actions)
+    dequeued = eng._dequeue(pending.filter(F.col("status") == "PENDING")).select(
+        "url_hash", "url", "host", "depth", "seq_path"
+    )
+    corpus_meta = corpus_df.select(
+        "url_hash", "kind", "next_url", "total_count", "outlinks", "fetch_ok"
+    )
+    hit = corpus_meta.join(F.broadcast(dequeued), "url_hash", "inner")
+    payload = corpus_df.join(
+        F.broadcast(dequeued.select("url_hash", "depth")), "url_hash", "inner"
+    ).filter(
+        F.col("fetch_ok") & (F.col("kind") == "detail") & F.col("bytes").isNotNull()
+    ).select("url_hash", "url", "depth", "image_id", "bytes", "caption", "phash")
+    flagged = eng._discover(hit.filter(F.col("fetch_ok") & (F.col("kind") == "list")))
+    allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
+    fresh = eng.dedupe_new(allowed, seen_hashes, bloom=None, round_no=0)
+    pending_update = pending.join(
+        F.broadcast(dequeued.select("url_hash")), "url_hash", "left_anti"
+    ).unionByName(fresh)
+
+    stages = {
+        "round_dequeue": (
+            dequeued,
+            ["Window"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "Sort [", "Exchange rangepartitioning"],
+        ),
+        "round_fetch_join": (
+            hit,
+            ["BroadcastHashJoin"],
+            ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+        ),
+        "round_payload_decode_side": (
+            payload,
+            ["BroadcastHashJoin"],
+            ["CartesianProduct", "SortMergeJoin"],
+        ),
+        "round_dedupe_fresh": (
+            fresh,
+            ["BroadcastHashJoin", "LeftSemi", "LeftAnti"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+        ),
+        "round_pending_update": (
+            pending_update,
+            ["BroadcastHashJoin", "LeftAnti"],
+            ["CartesianProduct", "SortMergeJoin"],
+        ),
+    }
+    failures = 0
+    print("\n# Engine round plans (run_round stages, lazily composed)\n")
+    for name, (df, must, must_not) in stages.items():
+        plan = plan_of(df)
+        problems = [f"MISSING: {frag!r}" for frag in must if frag not in plan]
+        problems += [
+            f"FORBIDDEN PRESENT: {frag!r}" for frag in must_not if frag in plan
+        ]
+        if name == "round_payload_decode_side" and "bytes" in exchanged_columns(plan):
+            problems.append("FORBIDDEN: payload `bytes` column crosses an Exchange")
+        status = "OK" if not problems else "FAIL"
+        failures += bool(problems)
+        print(f"## {name} — {status}\n")
+        for p in problems:
+            print(f"- **{p}**")
+        head = "\n".join(plan.splitlines()[:40])
+        print(f"\n```\n{head}\n```\n")
+    return failures
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain_audit", cpus=4, shuffle_partitions=4)
@@ -93,8 +201,9 @@ def main() -> int:
         # keep the physical-plan header section only (first ~40 lines)
         head = "\n".join(plan.splitlines()[:60])
         print(f"\n```\n{head}\n```\n")
+    failures += audit_engine_round()
     print(
-        f"\n_{len(AUDITED) - failures}/{len(AUDITED)} plans clean._",
+        f"\n_{len(AUDITED) + 5 - failures}/{len(AUDITED) + 5} plans clean._",
         file=sys.stderr,
     )
     return 1 if failures else 0
