@@ -96,6 +96,8 @@ def main() -> None:
         "ann_cosine_topk",
         "quality_score",
         "fingerprint",
+        "job_posting_csv",  # composed 26-column scraper pipeline
+        "embedding_neardup",  # LSH-bucketed near-dup scale path
     ]
     t_all = time.time()
     queries = run_registry_queries(spark, sf_dir, headline)

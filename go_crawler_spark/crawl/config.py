@@ -82,6 +82,11 @@ class CrawlConfig:
     # politeness-bounded dequeued side (bytes never shuffle — the normal
     # case); False → shuffle join on url_hash with AQE skew splitting,
     # for rounds whose dequeue exceeds broadcast size
+    broadcast_dedupe: bool = True  # exact-seen check strategy: broadcast
+    # the Bloom-positive candidate keys into a map-side semi scan of the
+    # seen set (frontier never shuffles — right when candidates are
+    # politeness-bounded); False → shuffle anti-join, for stress rounds
+    # whose candidate set exceeds broadcast size (e.g. kernelbench)
     disallow: tuple[str, ...] = field(default=ROBOTS_DISALLOW)
 
     def __post_init__(self) -> None:

@@ -388,7 +388,7 @@ class CrawlEngine:
             maybe = collapsed
 
         seen = seen_hashes.select("url_hash")
-        if self.cfg.broadcast_fetch:
+        if self.cfg.broadcast_dedupe:
             # maybe appears in two jobs (semi build + anti probe); its
             # upstream groupBy shuffle is reused across them, so only the
             # post-shuffle bloom-probe map re-runs — no persist needed

@@ -78,6 +78,9 @@ def run_kernel(
         round_seconds=round_seconds,
         bloom_shards=32,
         bloom_bits_per_shard=1 << 23,  # 32 MB total: 10 bits/key at 24M keys
+        broadcast_dedupe=False,  # this stress round dequeues ~40% of a 2M
+        # frontier — candidates are NOT politeness-bounded, so the exact
+        # check must take the shuffle path, not broadcast 5M keys
     )
     robots = synthetic_robots(spark, n_hosts)
     eng = CrawlEngine(spark, cfg, corpus_df=None, robots_df=robots)

@@ -189,42 +189,104 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _poly_py(token: str) -> int:
+    acc = 0
+    for ch in token:
+        acc = (acc * 31 + ord(ch)) % P31
+    return acc
+
+
+def _poly_hash_np(uniq):
+    """Vectorized poly_hash over an array of unique tokens — the exact
+    fold (acc*31 + codepoint) mod P31 per character, evaluated column-
+    wise over a right-padded byte matrix. Falls back to the scalar fold
+    for batches containing non-ASCII tokens (bytes ≠ codepoints there)."""
+    import numpy as np
+
+    if not len(uniq):
+        return np.array([], dtype=np.int64)
+    try:
+        arr = uniq.astype("S")  # ASCII-encodes; raises on non-ASCII
+    except UnicodeEncodeError:
+        return np.array([_poly_py(t) for t in uniq], dtype=np.int64)
+    mat = arr.view(np.uint8).reshape(len(arr), -1)
+    lens = (mat != 0).sum(axis=1)
+    acc = np.zeros(len(arr), dtype=np.int64)
+    for pos in range(mat.shape[1]):
+        c = mat[:, pos].astype(np.int64)
+        acc = np.where(pos < lens, (acc * 31 + c) % P31, acc)
+    return acc
+
+
+def minhash_bands_kernel(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band_id, k0..k3): MinHash LSH band keys.
+
+    Arrow kernel with exact hash parity: tokenization is Python's
+    whitespace split (≡ split '\\s+' + trim + drop-empty), token hashes
+    are the per-step-mod poly fold (shared with the DuckDB oracle), the
+    16 permutations are (h·a+b) mod P31 in int64 (products < 2^62), and
+    per-doc minima come from ``minimum.reduceat`` over the doc-sorted
+    token runs. The r1 Catalyst form folded every character through
+    interpreted higher-order lambdas — 12.3 s at sf0.1; this kernel is
+    the same math at numpy speed. Cross-doc token dedup (np.unique)
+    means each distinct token in the batch is hashed once."""
+    import numpy as np
+
+    perm_a = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+    perm_b = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
+    n_h = len(MINHASH_PERMS)
+
+    def bands(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf["text"].str.split()
+            counts = toks.map(len).to_numpy()
+            rows = np.repeat(np.arange(len(pdf)), counts)
+            words = toks.explode().dropna().astype(str).to_numpy()
+            if not len(words):
+                continue
+            uniq, inv = np.unique(words, return_inverse=True)
+            h = _poly_hash_np(uniq)[inv]
+            starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+            present = rows[starts]  # docs with ≥1 token (size>0 filter)
+            sig = np.empty((len(present), n_h), dtype=np.int64)
+            for j in range(n_h):
+                sig[:, j] = np.minimum.reduceat(
+                    (h * perm_a[j] + perm_b[j]) % P31, starts
+                )
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy()[present], LSH_BANDS)
+            keys = sig.reshape(len(present) * LSH_BANDS, LSH_ROWS)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "band_id": np.tile(np.arange(LSH_BANDS), len(present)),
+                    "k0": keys[:, 0], "k1": keys[:, 1],
+                    "k2": keys[:, 2], "k3": keys[:, 3],
+                }
+            )
+
+    return docs.mapInPandas(
+        bands,
+        schema="doc_id long, band_id int, k0 long, k1 long, k2 long, k3 long",
+    )
+
+
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash→LSH banding→bucket self-join candidate pairs (doc_a <
-    doc_b sharing ≥1 band), the standard near-dup scale path."""
-    docs = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", token_hashes(F.col("text")).alias("th"))
-        .filter(F.size("th") > 0)
-        .select("doc_id", minhash_signature(F.col("th")).alias("sig"))
+    doc_b sharing ≥1 band), the standard near-dup scale path. Band keys
+    from the vectorized kernel; the join stays a Catalyst equi-join on
+    (band_id, k0..k3) — shuffle cardinality docs × bands, no all-pairs."""
+    bands = minhash_bands_kernel(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    bands = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
-                lambda band: F.struct(
-                    band.alias("band_id"),
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), band * LSH_ROWS + 1, LSH_ROWS),
-                            lambda v: v.cast("string"),
-                        ),
-                        "-",
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
     a = bands.alias("a")
     b = bands.alias("b")
+    key_eq = (F.col("a.band_id") == F.col("b.band_id"))
+    for k in ("k0", "k1", "k2", "k3"):
+        key_eq = key_eq & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, key_eq & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
