@@ -88,14 +88,29 @@ class CrawlConfig:
     # politeness-bounded); False → shuffle anti-join, for stress rounds
     # whose candidate set exceeds broadcast size (e.g. kernelbench)
     disallow: tuple[str, ...] = field(default=ROBOTS_DISALLOW)
+    order: str = "bfs"  # crawl ordering: "bfs" = (depth, seq_path) —
+    # the reference's enumeration order; "priority" = priority desc
+    # first (ties by depth, seq_path), priority being a deterministic
+    # pure function of url_hash (priority_of) so engine and simulator
+    # derive it identically
 
     def __post_init__(self) -> None:
+        if self.order not in ("bfs", "priority"):
+            raise ValueError("order must be 'bfs' or 'priority'")
         if self.round_seconds <= 0:
             raise ValueError("round_seconds must be > 0")
         if self.max_rounds < 1:
             raise ValueError("max_rounds must be >= 1")
         if self.bloom_shards < 1 or self.bloom_hashes < 1:
             raise ValueError("bloom params must be >= 1")
+
+    @staticmethod
+    def priority_of(url_hash: int) -> float:
+        """Deterministic priority from the (xxhash64) url hash — ONE
+        definition shared by the engine (via the Spark twin expression)
+        and the simulator. Python % and Spark pmod agree for negative
+        hashes (both non-negative results)."""
+        return float(url_hash % 1_000_000)
 
     def budget(self, crawl_delay: float) -> int:
         """Fetches allowed for a host per round — floor semantics, min 1.

@@ -158,6 +158,7 @@ class CrawlResult:
     trace: DataFrame  # dequeue log: (round, pos-orderable), the crawl order
     pages: DataFrame | None
     metrics: list[RoundStats] = field(default_factory=list)
+    order: str = "bfs"  # the run's crawl-order mode (cfg.order)
 
     def ordered_trace(self) -> DataFrame:
         """Total crawl order with a dense ``pos`` column.
@@ -179,7 +180,11 @@ class CrawlResult:
         omap = F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         )
-        w = Window.partitionBy("round").orderBy("depth", "seq_path")
+        if self.order == "priority":
+            key = [F.col("priority").desc(), F.col("depth"), F.col("seq_path")]
+        else:
+            key = [F.col("depth"), F.col("seq_path")]
+        w = Window.partitionBy("round").orderBy(*key)
         return (
             self.trace.withColumn("rk", F.row_number().over(w))
             .withColumn(
@@ -198,11 +203,18 @@ class CrawlEngine:
         corpus_df: DataFrame,
         robots_df: DataFrame,
         store: SnapshotStore | None = None,
+        payload_df: DataFrame | None = None,
     ):
+        """``payload_df`` optionally separates the payload-bytes access
+        path from the metadata table (production shape: metadata in a
+        columnar table whose scans column-prune; payloads fetched from
+        a blob/page store). Defaults to ``corpus_df`` — one table serving
+        both, with Parquet column pruning doing the separation."""
         self.spark = spark
         self.cfg = cfg
         self.robots = robots_df
         self.store = store
+        self.payload = payload_df if payload_df is not None else corpus_df
         # budget per host, computed once (floor semantics, CrawlConfig.budget)
         self.budgets = F.broadcast(
             robots_df.select(
@@ -229,10 +241,19 @@ class CrawlEngine:
             cu = canon_url(None, url)
             if cu is None:  # B9 validity gate
                 continue
+            h = xxhash64_py(cu)
             rows.append(
-                (xxhash64_py(cu), cu, host_of(cu), "PENDING", 0, f"{idx:04d}", 0, 0.0)
+                (h, cu, host_of(cu), "PENDING", 0, f"{idx:04d}", 0,
+                 CrawlConfig.priority_of(h))
             )
         return self.spark.createDataFrame(rows, schema=FRONTIER_SCHEMA)
+
+    def _order_cols(self) -> list:
+        """The total crawl-order key (F3): BFS = (depth, seq_path);
+        priority mode ranks by priority desc first, same tie-break."""
+        if self.cfg.order == "priority":
+            return [F.col("priority").desc(), F.col("depth"), F.col("seq_path")]
+        return [F.col("depth"), F.col("seq_path")]
 
     # -- one round -----------------------------------------------------
 
@@ -248,8 +269,8 @@ class CrawlEngine:
         ).withColumn(
             "salt", F.pmod(F.xxhash64("url_hash"), F.lit(self.cfg.host_salt_buckets))
         )
-        w1 = Window.partitionBy("host", "salt").orderBy("depth", "seq_path")
-        w2 = Window.partitionBy("host").orderBy("depth", "seq_path")
+        w1 = Window.partitionBy("host", "salt").orderBy(*self._order_cols())
+        w2 = Window.partitionBy("host").orderBy(*self._order_cols())
         return (
             salted.withColumn("rn1", F.row_number().over(w1))
             .filter(F.col("rn1") <= F.col("budget"))  # local prune per salt
@@ -358,7 +379,7 @@ class CrawlEngine:
         scanned map-side by a broadcast LeftSemi (at rest this scan is
         the Iceberg bucket-pruned read), and the small seen subset
         broadcasts back for the anti-join. Fallback for unbounded
-        rounds (cfg.broadcast_fetch=False): plain shuffle anti-join.
+        rounds (cfg.broadcast_dedupe=False): plain shuffle anti-join.
         """
         collapsed = (
             allowed.withColumn("url_hash", F.xxhash64("url"))
@@ -404,7 +425,9 @@ class CrawlEngine:
         ).select(
             "url_hash", "url", "host", F.lit("PENDING").alias("status"),
             "depth", "seq_path", F.lit(round_no + 1).alias("round"),
-            F.lit(0.0).alias("priority"),
+            # Spark twin of CrawlConfig.priority_of (pmod ≡ python %)
+            F.pmod(F.col("url_hash"), F.lit(1_000_000)).cast("double")
+            .alias("priority"),
         )
 
     def run_round(
@@ -432,7 +455,7 @@ class CrawlEngine:
         everything downstream reuses those materialized frames."""
         dequeued = self._dequeue(
             pending.filter(F.col("status") == "PENDING")
-        ).select("url_hash", "url", "host", "depth", "seq_path").persist()
+        ).select("url_hash", "url", "host", "depth", "seq_path", "priority").persist()
 
         # The "fetch" join. The dequeued set is bounded by the politeness
         # budgets (sum of per-host budgets per round), so it broadcasts —
@@ -445,9 +468,14 @@ class CrawlEngine:
             "url_hash", "kind", "next_url", "total_count", "outlinks", "fetch_ok"
         )
         deq_side = F.broadcast(dequeued) if self.cfg.broadcast_fetch else dequeued
+        # hit is politeness-bounded (≤ dequeued rows) but inherits the
+        # corpus scan's partitioning — right-size it so the discovery
+        # stages downstream don't run hundreds of near-empty tasks
+        # (coalesce is a no-op when the scan already has fewer)
         hit = (
             corpus_meta.join(deq_side, "url_hash", "inner")
             .withColumn("ok", F.coalesce(F.col("fetch_ok"), F.lit(False)))
+            .coalesce(self.spark.sparkContext.defaultParallelism)
             .persist()
         )
         miss = dequeued.join(
@@ -456,13 +484,14 @@ class CrawlEngine:
         trace = (
             hit.select(
                 F.lit(round_no).alias("round"), "depth", "seq_path", "url_hash",
-                "url", "host",
+                "url", "host", "priority",
                 F.when(F.col("ok"), "SUCCESS").otherwise("FAILED").alias("status"),
             )
             .unionByName(
                 miss.select(
                     F.lit(round_no).alias("round"), "depth", "seq_path",
-                    "url_hash", "url", "host", F.lit("FAILED").alias("status"),
+                    "url_hash", "url", "host", "priority",
+                    F.lit("FAILED").alias("status"),
                 )
             )
             .persist()
@@ -480,7 +509,7 @@ class CrawlEngine:
         if with_payload_verify:
             keys = dequeued.select("url_hash", "depth")
             payload = (
-                self.corpus.join(
+                self.payload.join(
                     F.broadcast(keys) if self.cfg.broadcast_fetch else keys,
                     "url_hash",
                     "inner",
@@ -646,7 +675,7 @@ class CrawlEngine:
             all_trace = spark.createDataFrame(
                 [],
                 schema="round int, depth int, seq_path string, url_hash long, "
-                "url string, host string, status string",
+                "url string, host string, priority double, status string",
             )
         all_pages = None
         if pages_parts:
@@ -673,5 +702,6 @@ class CrawlEngine:
         else:
             frontier_view = all_disc
         return CrawlResult(
-            frontier=frontier_view, trace=all_trace, pages=all_pages, metrics=metrics
+            frontier=frontier_view, trace=all_trace, pages=all_pages,
+            metrics=metrics, order=cfg.order,
         )

@@ -64,18 +64,29 @@ def _discoveries(
     return out
 
 
+def _order_key(cfg: CrawlConfig):
+    """Total crawl-order key (F3) — the simulator twin of
+    CrawlEngine._order_cols: BFS (depth, seq_path), or priority desc
+    with the same tie-break."""
+    if cfg.order == "priority":
+        return lambda r: (-r["priority"], r["depth"], r["seq_path"])
+    return lambda r: (r["depth"], r["seq_path"])
+
+
 def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
     pages = {row["url"]: row for row in corpus.iter_rows(spec)}
     delays = {spec.host(i): spec.crawl_delay(i) for i in range(spec.n_hosts)}
 
     res = SimResult()
-    # frontier rows: {url, host, depth, seq_path, status}
+    # frontier rows: {url, host, depth, seq_path, priority, status}
     frontier: list[dict] = []
     for seed_idx, url in corpus.seeds(spec):
         cu = canon_url(None, url)
         assert cu is not None
         frontier.append(
-            {"url": cu, "host": host_of(cu), "depth": 0, "seq_path": f"{seed_idx:04d}"}
+            {"url": cu, "host": host_of(cu), "depth": 0,
+             "seq_path": f"{seed_idx:04d}",
+             "priority": CrawlConfig.priority_of(xxhash64_py(cu))}
         )
         res.seen.add(cu)
 
@@ -84,7 +95,7 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
         if not pending:
             break
         res.rounds = rnd + 1
-        pending.sort(key=lambda r: (r["depth"], r["seq_path"]))
+        pending.sort(key=_order_key(cfg))
         taken_per_host: dict[str, int] = {}
         dequeued, deferred = [], []
         for row in pending:
@@ -124,6 +135,7 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
                         "host": host_of(cu),
                         "depth": row["depth"] + 1,
                         "seq_path": f"{row['seq_path']}.{link_idx:04d}",
+                        "priority": CrawlConfig.priority_of(xxhash64_py(cu)),
                     }
                 )
 

@@ -75,9 +75,16 @@ class SnapshotStore:
         steps = [int(c) for c in commits if c.isdigit()]
         return max(steps, default=-1)
 
-    def read(self, table: str) -> DataFrame | None:
-        """All committed rows of a table (partition-pruned by step)."""
+    def read(self, table: str, as_of_step: int | None = None) -> DataFrame | None:
+        """Committed rows of a table (partition-pruned by step).
+
+        ``as_of_step`` is the Iceberg time-travel analog (snapshot
+        read): only rows committed at or before that step are visible —
+        the state a reader would have seen right after that commit.
+        Default: latest committed step."""
         latest = self.latest_step()
+        if as_of_step is not None:
+            latest = min(latest, as_of_step)
         base = self._table_dir(table)
         if latest < 0 or not os.path.isdir(base):
             return None
@@ -100,7 +107,12 @@ class SnapshotStore:
         Crash-safe: consolidated data lands in ``{table}.new`` first;
         the two renames leave either the old layout, the ``.old``
         fallback (which ``_table_dir`` resolves), or the new layout —
-        never a missing table."""
+        never a missing table.
+
+        Compaction folds every step into the latest one, so time-travel
+        (``read(..., as_of_step=k)``) granularity older than the
+        compaction point is lost — the expiring-snapshots trade Iceberg
+        makes explicit with expire_snapshots."""
         df = self.read(table)
         if df is None:
             return
@@ -119,16 +131,17 @@ class SnapshotStore:
 
         shutil.rmtree(old)
 
-    def current_frontier(self) -> DataFrame | None:
+    def current_frontier(self, as_of_step: int | None = None) -> DataFrame | None:
         """Merge-on-read frontier view: discoveries ⟕ latest status flip.
 
-        Iceberg analog: MERGE INTO frontier USING status_log. One
+        Iceberg analog: MERGE INTO frontier USING status_log; pass
+        ``as_of_step`` to time-travel to an earlier snapshot. One
         shuffle on url_hash; at scale both sides are bucketed on
         url_hash so this co-locates."""
-        frontier = self.read("frontier")
+        frontier = self.read("frontier", as_of_step)
         if frontier is None:
             return None
-        status = self.read("status_log")
+        status = self.read("status_log", as_of_step)
         if status is None:
             return frontier
         latest = status.groupBy("url_hash").agg(

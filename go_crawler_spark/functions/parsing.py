@@ -346,6 +346,70 @@ def q_query_reencode_multiparam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# robots.txt parsing (north-rule addition — the reference has NO robots
+# handling, SURVEY §1.4; the engine consumes a parsed robots_df, and
+# this operator is the text → (crawl_delay, disallow) front of that)
+# ---------------------------------------------------------------------------
+
+# the User-agent: * group: everything after the star line up to the
+# next User-agent line (or end of file); (?s) lets . cross newlines
+_ROBOTS_STAR_BLOCK = r"(?s)User-agent:[ \t]*\*[ \t]*\n(.*?)(?:User-agent:|$)"
+
+
+def robots_cols(txt: Column, round_seconds: float) -> dict[str, Column]:
+    """Parse a robots.txt body: the ``User-agent: *`` group's
+    Disallow paths (order of appearance), Crawl-delay (default 1.0),
+    and the derived per-round politeness budget
+    (max(1, floor(round_seconds / delay)) — CrawlConfig.budget).
+    All Catalyst: one block extract + regexp_extract_all ladders."""
+    block = F.regexp_extract(txt, _ROBOTS_STAR_BLOCK, 1)
+    disallow = F.regexp_extract_all(block, F.lit(r"Disallow:[ \t]*(\S+)"), 1)
+    delay = F.coalesce(
+        F.nullif(
+            F.regexp_extract(block, r"Crawl-delay:[ \t]*([0-9.]+)", 1), F.lit("")
+        ).cast("double"),
+        F.lit(1.0),
+    )
+    budget = F.greatest(
+        F.lit(1), F.floor(F.lit(round_seconds) / delay)
+    ).cast("long")
+    return {"crawl_delay": delay, "disallow": disallow, "budget": budget}
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt → per-host politeness config. Synthesizes a realistic
+    robots body per supplier row (foreign-bot group first — which must
+    be IGNORED — then the * group with a keyed number of Disallow lines,
+    comments, and an optional Crawl-delay), then parses it back."""
+    sup = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    delay_line = F.when(
+        k % 3 == 0, F.concat(F.lit("Crawl-delay: "), (k % 9 + 1).cast("string"),
+                             F.lit("\n"))
+    ).otherwise(F.lit(""))
+    second_dis = F.when(
+        k % 2 == 0, F.concat(F.lit("Disallow: /tmp/"), k.cast("string"),
+                             F.lit("\n"))
+    ).otherwise(F.lit(""))
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: OtherBot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private\n"),
+        second_dis,
+        delay_line,
+        F.lit("Allow: /public\n"),
+    )
+    cols = robots_cols(F.col("robots_txt"), round_seconds=60.0)
+    return sup.select("s_suppkey", txt.alias("robots_txt")).select(
+        "s_suppkey",
+        "robots_txt",
+        cols["crawl_delay"].alias("crawl_delay"),
+        F.array_join(cols["disallow"], ",").alias("disallow_joined"),
+        cols["budget"].alias("budget"),
+    )
+
+
 def q_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B12: CrawlJob record ⟷ JSON codec round-trip
     (/root/reference/internal/infra/model.go:13-28 — the Redis value is

@@ -814,6 +814,40 @@ SELECT p_partkey, base_url,
 FROM rendered
 """
 
+_ROBOTS_BLK = (
+    r"regexp_extract(robots_txt, "
+    r"'(?s)User-agent:[ \t]*\*[ \t]*\n(.*?)(?:User-agent:|$)', 1)"
+)
+_ROBOTS_DELAY = (
+    "COALESCE(CAST(NULLIF(regexp_extract(blk, "
+    r"'Crawl-delay:[ \t]*([0-9.]+)', 1), '') AS DOUBLE), 1.0)"
+)
+
+ROBOTS_PARSE = f"""
+WITH rendered AS (
+  SELECT s_suppkey,
+         '# synthetic robots' || chr(10) || 'User-agent: OtherBot' || chr(10)
+         || 'Disallow: /' || chr(10) || chr(10)
+         || 'User-agent: *' || chr(10)
+         || 'Disallow: /private' || chr(10)
+         || CASE WHEN s_suppkey % 2 = 0
+                 THEN 'Disallow: /tmp/' || CAST(s_suppkey AS VARCHAR) || chr(10)
+                 ELSE '' END
+         || CASE WHEN s_suppkey % 3 = 0
+                 THEN 'Crawl-delay: ' || CAST(s_suppkey % 9 + 1 AS VARCHAR) || chr(10)
+                 ELSE '' END
+         || 'Allow: /public' || chr(10) AS robots_txt
+  FROM supplier),
+parsed AS (
+  SELECT s_suppkey, robots_txt, {_ROBOTS_BLK} AS blk FROM rendered)
+SELECT s_suppkey, robots_txt,
+       {_ROBOTS_DELAY} AS crawl_delay,
+       array_to_string(regexp_extract_all(blk, 'Disallow:[ \\t]*(\\S+)', 1), ',')
+         AS disallow_joined,
+       CAST(greatest(1, floor(60.0 / {_ROBOTS_DELAY})) AS BIGINT) AS budget
+FROM parsed
+"""
+
 JSON_CODEC = """
 WITH rec AS (
   SELECT o_orderkey,

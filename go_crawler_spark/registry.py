@@ -97,6 +97,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         parsing.q_query_reencode_multiparam,
         oracles.QUERY_REENCODE_MULTIPARAM,
     ),
+    # robots.txt → per-host politeness config (north-rule addition)
+    "robots_parse": (parsing.q_robots_parse, oracles.ROBOTS_PARSE),
     "json_codec": (parsing.q_json_codec, oracles.JSON_CODEC),
     # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
     "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),

@@ -184,6 +184,37 @@ def test_scaled_payload_end_to_end(spark):
         assert r["pixels_ok"] and r["caption_ok"] and r["psnr_db"] >= 40.0
 
 
+def test_priority_order_trace_matches_golden(spark):
+    """cfg.order='priority' (north star: 'BFS/priority crawl ordering'):
+    dequeue ranks by priority desc — a pure function of url_hash shared
+    by engine and simulator — with the BFS key as tie-break. The golden
+    trace must match exactly, and must genuinely differ from BFS."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG2, order="priority")
+    golden = simulate(SPEC2, cfg)
+    golden_bfs = simulate(SPEC2, CFG2)
+    assert golden.order != golden_bfs.order  # the mode changes the trace
+    assert golden.seen == golden_bfs.seen  # ...but not what gets found
+
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        corpus.build_corpus(spark, SPEC2),
+        corpus.build_robots(spark, SPEC2, cfg.disallow),
+    )
+    res = eng.run(spec=SPEC2, with_payload_verify=False)
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in res.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    assert got == [
+        (rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace
+    ]
+    assert [vars(m) for m in res.metrics] == golden.metrics
+
+
 def test_non_drained_politeness_boundary(spark):
     """Hit max_rounds with work still pending: the trace, metrics, AND
     the carried-over PENDING set must match the simulator exactly at
@@ -233,5 +264,7 @@ def test_config_eager_validation():
         CrawlConfig(round_seconds=0)
     with _pytest.raises(ValueError):
         CrawlConfig(max_rounds=0)
+    with _pytest.raises(ValueError):
+        CrawlConfig(order="dfs")
     with _pytest.raises(ValueError):
         CrawlConfig(bloom_shards=0)

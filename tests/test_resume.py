@@ -130,3 +130,37 @@ def test_compaction_preserves_state(spark, tmp_path_factory, corpus_df, robots_d
 
     # a fresh store instance reads the compacted layout identically
     assert _snapshot(SnapshotStore(spark, base).current_frontier()) == before
+
+
+def test_time_travel_read(spark, tmp_path_factory, corpus_df, robots_df):
+    """Snapshot time-travel (Iceberg analog): current_frontier(as_of_step=k)
+    reproduces the state a reader saw right after step k's commit —
+    discoveries born later are invisible, and statuses resolve only
+    flips committed by then."""
+    base = str(tmp_path_factory.mktemp("crawlstore_tt"))
+    store = SnapshotStore(spark, base)
+    CrawlEngine(spark, CFG, corpus_df, robots_df, store=store).run(
+        spec=SPEC, with_payload_verify=False
+    )
+    last = store.latest_step()
+    assert last >= 2
+
+    # as-of the bootstrap commit: only seeds, all PENDING
+    f0 = store.current_frontier(as_of_step=0)
+    rows0 = f0.collect()
+    assert {r["status"] for r in rows0} == {"PENDING"}
+    assert {r["depth"] for r in rows0} == {0}
+
+    # as-of step 1 (round 0 committed): seeds resolved, round-1 births visible
+    f1 = store.current_frontier(as_of_step=1)
+    rows1 = {r["url"]: r for r in f1.collect()}
+    assert any(r["status"] in ("SUCCESS", "FAILED") for r in rows1.values())
+    assert max(r["round"] for r in rows1.values()) == 1
+
+    # monotone growth: each snapshot is a superset of the previous
+    n_by_step = [
+        store.current_frontier(as_of_step=k).count() for k in range(last + 1)
+    ]
+    assert n_by_step == sorted(n_by_step)
+    # and the full view equals the default (no as_of) read
+    assert n_by_step[-1] == store.current_frontier().count()

@@ -155,6 +155,16 @@ def audit_engine_round() -> int:
             ["BroadcastHashJoin", "LeftAnti"],
             ["CartesianProduct", "SortMergeJoin"],
         ),
+        # broadcast_fetch=False fallback: dequeue too large to broadcast
+        # → shuffle equi-join on url_hash (AQE splits skewed partitions).
+        # The audit corpus is tiny, so Catalyst would auto-broadcast it;
+        # the shuffle_hash hint emulates the at-scale statistics where
+        # neither side fits the broadcast threshold.
+        "round_fetch_join_shuffle_fallback": (
+            corpus_meta.join(dequeued.hint("shuffle_hash"), "url_hash", "inner"),
+            ["ShuffledHashJoin", "Exchange"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ),
     }
     failures = 0
     print("\n# Engine round plans (run_round stages, lazily composed)\n")
@@ -202,10 +212,9 @@ def main() -> int:
         head = "\n".join(plan.splitlines()[:60])
         print(f"\n```\n{head}\n```\n")
     failures += audit_engine_round()
-    print(
-        f"\n_{len(AUDITED) + 5 - failures}/{len(AUDITED) + 5} plans clean._",
-        file=sys.stderr,
-    )
+    n_engine_stages = 6
+    total = len(AUDITED) + n_engine_stages
+    print(f"\n_{total - failures}/{total} plans clean._", file=sys.stderr)
     return 1 if failures else 0
 
 

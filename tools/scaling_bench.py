@@ -100,15 +100,26 @@ def main() -> None:
         path = f"{corpus_dir}/corpus.parquet"
         print(f"generating shared corpus (~{n_rows} payload rows) ...", file=sys.stderr)
         generate_corpus(n_rows, path)
-    results = {}
-    for cpus in (2, 8, 32):
-        # best of 2: single local-mode runs vary ±40% (JIT, page cache,
-        # block-manager state); min-elapsed isolates steady state
-        runs = [run_at(cpus, n_rows, path) for _ in range(2)]
-        results[cpus] = min(runs, key=lambda r: r["elapsed_sec"])
+    # INTERLEAVED rounds (2,8,32,2,8,32,…): this host's noise is severe
+    # and time-varying (identical runs spread up to ±100% an hour
+    # apart), so consecutive same-level runs would let slow drift land
+    # entirely on one level; interleaving spreads it across all three.
+    # Best-of-N per level isolates the steady state.
+    raw: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    for i in range(3):
+        for cpus in (2, 8, 32):
+            r = run_at(cpus, n_rows, path)
+            raw[cpus].append(r)
+            print(f"  round {i} local[{cpus}]: {r['elapsed_sec']}s",
+                  file=sys.stderr)
+    results = {
+        cpus: min(runs, key=lambda r: r["elapsed_sec"])
+        for cpus, runs in raw.items()
+    }
+    for cpus, best in results.items():
         print(
-            f"  local[{cpus}]: {results[cpus]['urls_per_sec']} urls/sec "
-            f"({[r['elapsed_sec'] for r in runs]}s, best kept)",
+            f"  local[{cpus}]: {best['urls_per_sec']} urls/sec "
+            f"({[r['elapsed_sec'] for r in raw[cpus]]}s, best kept)",
             file=sys.stderr,
         )
     eff_2_8 = results[8]["urls_per_sec"] / (4.0 * results[2]["urls_per_sec"])
