@@ -723,6 +723,10 @@ FROM events
 GROUP BY 1, 2
 """
 
+STREAM_DEDUPE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 STREAM_FRONTIER_DRAIN = """
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_pending,

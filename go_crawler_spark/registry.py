@@ -46,6 +46,12 @@ def _stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return q_stream_stateful_first_seen(spark, sf_dir)
 
+
+def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_crawler_spark.streaming import q_stream_dedupe
+
+    return q_stream_dedupe(spark, sf_dir)
+
 # name -> (spark function, oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
@@ -127,6 +133,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _stream_stateful_first_seen,
         oracles.STREAM_STATEFUL_FIRST_SEEN,
     ),
+    "stream_dedupe": (_stream_dedupe, oracles.STREAM_DEDUPE),
     # dedup sketches + similarity search
     "ngram_jaccard_pairs": (
         similarity.q_ngram_jaccard_pairs,

@@ -37,7 +37,9 @@ def _read_events_stream(spark: SparkSession, sf_dir: str, schema) -> DataFrame:
     )
 
 
-def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into a memory
     sink and return the materialized result."""
     global _MEM_SINK_SEQ
@@ -47,7 +49,7 @@ def _run_to_memory(stream_df: DataFrame, query_name: str) -> DataFrame:
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
@@ -106,6 +108,22 @@ def q_stream_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(stream, "frontier_drain")
+
+
+def q_stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedupe via Spark's built-in stateful
+    dropDuplicates (append mode): the streaming twin of the frontier's
+    URL-seen distinct (D1/D2) using the engine's own state store —
+    complements the custom applyInPandasWithState first-seen operator.
+    Emits each (user_id, event_type) key once; with availableNow over
+    the static table this converges to batch SELECT DISTINCT."""
+    schema = load(spark, sf_dir, "events").schema
+    stream = (
+        _read_events_stream(spark, sf_dir, schema)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    return _run_to_memory(stream, "stream_dedupe", output_mode="append")
 
 
 def q_stream_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
