@@ -24,6 +24,21 @@ import sys
 import time
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Spin up the session's one-time machinery before any timed query:
+    whole-stage codegen, the parquet reader, and the python worker pool
+    — otherwise the first headline query absorbs ~3-5 s of session
+    warmup and its number measures the JVM, not the plan."""
+    from go_crawler_spark.tables import load
+
+    load(spark, sf_dir, "lineitem").limit(50_000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(10_000).mapInPandas(
+        lambda it: it, schema="id bigint"
+    ).write.format("noop").mode("overwrite").save()
+
+
 def run_registry_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from go_crawler_spark.registry import REGISTRY
 
@@ -100,6 +115,7 @@ def main() -> None:
         "embedding_neardup",  # LSH-bucketed near-dup scale path
     ]
     t_all = time.time()
+    warmup(spark, sf_dir)
     queries = run_registry_queries(spark, sf_dir, headline)
 
     from go_crawler_spark.crawl.kernelbench import run_kernel
