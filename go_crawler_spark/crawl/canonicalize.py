@@ -44,13 +44,13 @@ def canon_url(base: str | None, href: str) -> str | None:
     try:
         absolute = urljoin(base, href) if base else href
         parts = urlsplit(absolute)
+        scheme = parts.scheme.lower()
+        if scheme not in ("http", "https") or not parts.hostname:
+            return None
+        host = parts.hostname.lower()
+        port = parts.port  # raises ValueError on a malformed port (":0,+")
     except ValueError:
         return None
-    scheme = parts.scheme.lower()
-    if scheme not in ("http", "https") or not parts.hostname:
-        return None
-    host = parts.hostname.lower()
-    port = parts.port
     netloc = host if port is None or str(port) == _DEFAULT_PORTS[scheme] else f"{host}:{port}"
     path = parts.path or "/"
     return urlunsplit((scheme, netloc, path, parts.query, ""))
@@ -140,9 +140,16 @@ def xxhash64_py(data: bytes | str, seed: int = 42) -> int:
 # canonical base is pure string concat and NFKC is the identity
 _SIMPLE_HREF = re.compile(
     # root-relative, printable ASCII; no protocol-relative "//", no dot
-    # segments, no fragment, and no trailing "?" (urlunsplit drops an
-    # empty query, plain concat would keep it)
-    r"^/(?!/)(?!.*\.\.)(?!.*/\./)(?!.*/\.$)(?!.*#)(?!.*\?$)[!-~]+$"
+    # segments (a "/." or "/.." segment ends at "/", "?", or end-of-string
+    # — RFC-3986 remove_dot_segments rewrites all three, so all three must
+    # fall to the slow path), no fragment, and no trailing "?" (urlunsplit
+    # drops an empty query, plain concat would keep it)
+    # lookaheads are anchored at position 0 (before the leading "/" is
+    # consumed) so a dot segment in the FIRST path segment ("/.?q") is
+    # rejected too — the r2 fast-path bug was anchoring them after "^/".
+    # ";" always falls to the slow path: urljoin resolves via urlparse,
+    # which strips an empty params part ("/a;" -> "/a").
+    r"^(?!.*\.\.)(?!.*/\.{1,2}(?:[/?]|$))(?!.*#)(?!.*;)(?!.*\?$)/(?!/)[!-~]+$"
 )
 _CANON_BASE = re.compile(r"^(https?://[^/?#\s]+)/")
 

@@ -35,6 +35,11 @@ MINHASH_PERMS = tuple(
 )
 LSH_BANDS = 4  # 16 hashes → 4 bands × 4 rows
 LSH_ROWS = 4
+# Hot-bucket guard: a (band_id, k0..k3) bucket holding more than this many
+# docs is dropped from candidate generation (it would emit O(n²) pairs —
+# boilerplate/empty-ish text at 100 TB). Dropped buckets are observable via
+# ``minhash_lsh_hot_buckets``; the DuckDB oracle applies the same rule.
+LSH_MAX_BUCKET = 512
 
 ANN_LSH_BITS = 6  # sign bits for the ANN bucket join
 ANN_DIM = 64  # embedding dimensionality of the test tables
@@ -272,14 +277,57 @@ def minhash_bands_kernel(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash→LSH banding→bucket self-join candidate pairs (doc_a <
-    doc_b sharing ≥1 band), the standard near-dup scale path. Band keys
-    from the vectorized kernel; the join stays a Catalyst equi-join on
-    (band_id, k0..k3) — shuffle cardinality docs × bands, no all-pairs."""
+_LSH_KEY = ("band_id", "k0", "k1", "k2", "k3")
+
+
+def _capped_bands(
+    spark: SparkSession, sf_dir: str, max_bucket: int
+) -> DataFrame:
+    """Band rows with degenerate buckets removed (bucket_n > max_bucket).
+
+    One window count over the bucket key — the same hash-partitioning the
+    candidate self-join needs, so the Exchange is reused, not repeated."""
     bands = minhash_bands_kernel(
         load(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    w = Window.partitionBy(*_LSH_KEY)
+    return (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= F.lit(max_bucket))
+        .drop("bucket_n")
+    )
+
+
+def minhash_lsh_hot_buckets(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """The buckets the guard drops: (band_id, k0..k3, bucket_n) with
+    bucket_n > max_bucket. Pipelines log/count this alongside the
+    candidate query — LSH hygiene requires the drop be observable, never
+    silent."""
+    bands = minhash_bands_kernel(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return (
+        bands.groupBy(*_LSH_KEY)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > F.lit(max_bucket))
+    )
+
+
+def q_minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """MinHash→LSH banding→bucket self-join candidate pairs (doc_a <
+    doc_b sharing ≥1 band), the standard near-dup scale path. Band keys
+    from the vectorized kernel; the join stays a Catalyst equi-join on
+    (band_id, k0..k3) — shuffle cardinality docs × bands, no all-pairs.
+
+    Buckets larger than ``max_bucket`` are dropped before the join (a hot
+    band key — boilerplate text, near-empty docs — would emit O(n²) pairs
+    from a single bucket at 100 TB); ``minhash_lsh_hot_buckets`` exposes
+    what was dropped. The DuckDB oracle applies the identical cap."""
+    bands = _capped_bands(spark, sf_dir, max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     key_eq = (F.col("a.band_id") == F.col("b.band_id"))

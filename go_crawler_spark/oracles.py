@@ -17,7 +17,13 @@ Parity discipline (the driver hash-compares values):
 
 from __future__ import annotations
 
-from go_crawler_spark.functions.similarity import LSH_BANDS, LSH_ROWS, MINHASH_PERMS, P31
+from go_crawler_spark.functions.similarity import (
+    LSH_BANDS,
+    LSH_MAX_BUCKET,
+    LSH_ROWS,
+    MINHASH_PERMS,
+    P31,
+)
 
 # --- shared SQL fragments ---------------------------------------------------
 
@@ -322,9 +328,14 @@ bands AS (
          array_to_string(list_transform(
            sig[band_id * {LSH_ROWS} + 1 : band_id * {LSH_ROWS} + {LSH_ROWS}],
            v -> CAST(v AS VARCHAR)), '-') AS band_key
-  FROM sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band_id))
+  FROM sig, unnest(generate_series(0, {LSH_BANDS - 1})) AS u(band_id)),
+capped AS (
+  -- hot-bucket guard, same rule as q_minhash_lsh_candidates: a bucket
+  -- with more than LSH_MAX_BUCKET docs is dropped before the self-join
+  SELECT doc_id, band_id, band_key FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BUCKET})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM capped a JOIN capped b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 

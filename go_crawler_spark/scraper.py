@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from go_crawler_spark.scraper_config import FieldSpec, load_scraper_config
 from go_crawler_spark.functions.extraction import (
     BENEFIT_KEYWORDS,
     benefits_cols,
@@ -54,40 +55,57 @@ def extract_first(col: Column, pattern: str) -> Column:
     return F.element_at(F.regexp_extract_all(col, F.lit(pattern), 0), 1)
 
 
-# Extraction config: field → regex over the page text (the graft analog
-# of settings/scraper.yaml's selector table; E17's dispatcher shape).
-FIELD_PATTERNS = {
-    "company": r"【([^】]+)】",
-    "title": r"】([^\n 【]+)",
-    "salary_text": r"(?:月給|年収|時給|日給)[^\s]*",
-    "posted_text": r"\d{4}年\d{2}月\d{2}日|\d{4}/\d{2}/\d{2}|\d{4}-\d{2}-\d{2}",
-    "holidays_text": r"年間休日\d+日",
-    "hours_text": r"\d{1,2}:\d{2}\s*[~～]\s*\d{1,2}:\d{2}",
-    # labeled-segment fields (selector analogs; value = the non-space
-    # run after the label, first match wins)
-    "loc": r"勤務地[:：](\S+)",
-    "hq_loc": r"本社[:：](\S+)",  # second Location — job_posting.go:24-25
-    "job_description": r"仕事内容[:：](\S+)",
-    "job_detail": r"詳細[:：](\S+)",
-    "requirements": r"応募要件[:：](\S+)",
-    "benefits": r"福利厚生[:：](\S+)",
-}
+# Extraction config: field → regex over the page text, loaded from the
+# validated YAML selector table (settings/scraper.yaml — A2/E17's config
+# surface, mirroring internal/config/scraper_config.go:12-53). Loaded at
+# import so a malformed default table fails eagerly; FIELD_PATTERNS stays
+# as the pattern view for callers that only need the regexes.
+FIELD_CONFIG = load_scraper_config()
+FIELD_PATTERNS = {name: spec.pattern for name, spec in FIELD_CONFIG.items()}
 
 
-def _labeled(text: Column, key: str) -> Column:
+def field_col(text: Column, spec: FieldSpec) -> Column:
+    """E17 dispatch: one selector-table row → one Column expression.
+
+    mode 'match' → first full match wins (ExtractText); 'group' →
+    group-1 of the first match, empty → NULL (the regex: refinement);
+    'attr' → comma-joined non-empty attr="…" values inside pattern
+    matches (ExtractAttribute's empty-skip, html_document.go:84-98)."""
+    if spec.mode == "match":
+        return extract_first(text, spec.pattern)
+    if spec.mode == "group":
+        return F.nullif(F.regexp_extract(text, spec.pattern, 1), F.lit(""))
+    attrs = F.filter(
+        F.regexp_extract_all(
+            text, F.lit(f'{spec.attr}="([^"]*)"'), 1
+        ),
+        lambda v: v != "",
+    )
+    return F.array_join(attrs, ",")
+
+
+def _labeled(text: Column, key: str, config: dict | None = None) -> Column:
     """Group-1 of the first match of a labeled-segment pattern; NULL if
     the label is absent (ExtractText empty → nil field)."""
-    return F.nullif(F.regexp_extract(text, FIELD_PATTERNS[key], 1), F.lit(""))
+    return field_col(text, (config or FIELD_CONFIG)[key])
 
 
-def job_posting_frame(pages: DataFrame, text_col: str, url_col: str) -> DataFrame:
+def job_posting_frame(
+    pages: DataFrame,
+    text_col: str,
+    url_col: str,
+    config: dict[str, FieldSpec] | None = None,
+) -> DataFrame:
     """pages(text, url) → typed JobPosting columns (pre-flatten).
 
     One narrow projection: every field is a codegen'd expression over
     the normalized text; the only join is the broadcast prefecture dim
     (via with_location, called by the caller because it needs a
-    SparkSession handle).
+    SparkSession handle). ``config`` swaps the selector table (default:
+    the validated settings/scraper.yaml), so a selector change is a
+    config deployment, not a code change — the reference's model.
     """
+    cfg = config or FIELD_CONFIG
     text = normalize_string_native(F.col(text_col))
     sal = salary_cols(text)
     flags = benefits_cols(text)
@@ -95,14 +113,14 @@ def job_posting_frame(pages: DataFrame, text_col: str, url_col: str) -> DataFram
         F.col(url_col).alias("url"),
         F.col(text_col).alias("raw_text"),
         text.alias("text"),
-        extract_first(text, FIELD_PATTERNS["company"]).alias("company_m"),
-        extract_first(text, FIELD_PATTERNS["title"]).alias("title_m"),
+        field_col(text, cfg["company"]).alias("company_m"),
+        field_col(text, cfg["title"]).alias("title_m"),
         contains_ladder(text, JOB_TYPE_LADDER).alias("job_type"),
         sal["salary_min"].alias("salary_min"),
         sal["salary_max"].alias("salary_max"),
         sal["salary_unit"].alias("salary_unit"),
         F.date_format(
-            parse_posted_at(extract_first(text, FIELD_PATTERNS["posted_text"])),
+            parse_posted_at(field_col(text, cfg["posted_text"])),
             "yyyy-MM-dd",
         ).alias("posted_at"),
         parse_raise(text).alias("raise_count"),
@@ -110,15 +128,15 @@ def job_posting_frame(pages: DataFrame, text_col: str, url_col: str) -> DataFram
         contains_ladder(text, HOLIDAY_POLICY_LADDER).alias("holiday_policy"),
         contains_ladder(text, WORKPLACE_LADDER).alias("workplace"),
         parse_optional_uint(
-            extract_first(text, FIELD_PATTERNS["holidays_text"])
+            field_col(text, cfg["holidays_text"])
         ).alias("annual_holidays"),
-        extract_first(text, FIELD_PATTERNS["hours_text"]).alias("work_hours"),
-        _labeled(text, "loc").alias("loc_raw"),
-        _labeled(text, "hq_loc").alias("hq_loc_raw"),
-        _labeled(text, "job_description").alias("job_description"),
-        _labeled(text, "job_detail").alias("job_detail"),
-        _labeled(text, "requirements").alias("requirements"),
-        _labeled(text, "benefits").alias("benefits_raw"),
+        field_col(text, cfg["hours_text"]).alias("work_hours"),
+        _labeled(text, "loc", cfg).alias("loc_raw"),
+        _labeled(text, "hq_loc", cfg).alias("hq_loc_raw"),
+        _labeled(text, "job_description", cfg).alias("job_description"),
+        _labeled(text, "job_detail", cfg).alias("job_detail"),
+        _labeled(text, "requirements", cfg).alias("requirements"),
+        _labeled(text, "benefits", cfg).alias("benefits_raw"),
         *[c.alias(name) for name, c in flags.items()],
     )
     # strip the 【】 capture leftovers: regexp_extract_all returns the

@@ -193,3 +193,39 @@ def test_embedding_neardup_recall_vs_bruteforce(spark, sf_small):
         .collect()
     }
     assert got == brute and len(brute) == 50  # one planted pair per vec_id%10==7
+
+
+def test_minhash_lsh_hot_bucket_guard(spark, tmp_path):
+    """A planted mega-bucket (40 identical docs) must be dropped, not
+    expanded into O(n²) candidate pairs; the drop must be observable via
+    minhash_lsh_hot_buckets. Without the guard the corpus below yields
+    40·39/2 = 780 pairs from one bucket family."""
+    from go_crawler_spark.functions.similarity import (
+        minhash_lsh_hot_buckets,
+        q_minhash_lsh_candidates,
+    )
+
+    docs = [(i, "boiler plate text repeated verbatim") for i in range(40)]
+    docs += [(100, "unique alpha beta gamma"), (101, "unique alpha beta gamma")]
+    docs += [(200, "another singleton document entirely")]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_lsh_candidates(spark, sf_dir, max_bucket=16).collect()
+    }
+    assert pairs == {(100, 101)}  # mega-bucket gone, small bucket intact
+
+    hot = minhash_lsh_hot_buckets(spark, sf_dir, max_bucket=16).collect()
+    assert len(hot) == 4  # identical docs share all 4 band buckets
+    assert all(r["bucket_n"] == 40 for r in hot)
+
+    # default cap (512) keeps everything at this scale
+    ungated = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_lsh_candidates(spark, sf_dir).collect()
+    }
+    assert len(ungated) == 780 + 1

