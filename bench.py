@@ -113,6 +113,9 @@ def main() -> None:
         "fingerprint",
         "job_posting_csv",  # composed 26-column scraper pipeline
         "embedding_neardup",  # LSH-bucketed near-dup scale path
+        "ann_lsh_topk",  # the 100 TB ANN shape — regressions must be visible
+        "robots_parse",
+        "stream_windowed_counts",  # structured-streaming representative
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -20,6 +20,18 @@ shards of ~12 MB, each broadcast-sized. In this sandbox the defaults
 (CrawlConfig) are 8 shards × 1 Mbit. k hash probes are derived from the
 64-bit url_hash by splitting + Knuth-style remix — no per-row hashing
 beyond the one xxhash64 Spark already computed JVM-side.
+
+Saturation policy: bitmaps are fixed-size and only ever OR-accumulate,
+so over enough rounds the fill ratio rises and the estimated
+false-positive rate (worst-shard fill^k, exposed by ``fp_rate``) climbs
+toward 1 — at which point every candidate pays the tier-2 exact check:
+correct, just slower. The engine therefore REBUILDS the filter from the
+exact seen set with doubled shard count whenever ``fp_rate`` crosses
+``SATURATION_FP`` (shard = pmod(hash, S), so doubling S halves each
+shard's key load at constant per-shard m). Rebuilds are amortized —
+each one doubles capacity, so a crawl triggers O(log growth) rebuilds
+total — and never lossy: the filter is always rebuilt from the exact
+frontier key set, and tier 2 keeps semantics exact regardless.
 """
 
 from __future__ import annotations
@@ -29,6 +41,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from go_crawler_spark.crawl.config import CrawlConfig
+
+# estimated-fp threshold above which the engine rebuilds with more shards
+SATURATION_FP = 0.02
 
 
 def _probe_positions(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -101,6 +116,24 @@ class BloomShards:
             bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
             result[idx] = bits.all(axis=1)
         return pd.Series(result, index=hashes.index)
+
+    def fill_ratio(self) -> float:
+        """Worst-shard fraction of set bits (popcount/m) — the shard
+        that governs the false-positive rate."""
+        if not self.shards:
+            return 0.0
+        return max(
+            float(np.unpackbits(bm).sum()) / self.m for bm in self.shards.values()
+        )
+
+    def fp_rate(self) -> float:
+        """Estimated false-positive probability ≈ (worst-shard fill)^k —
+        the standard Bloom estimate from the observed bit density (no
+        key count needed, so it stays cheap to evaluate per round)."""
+        return self.fill_ratio() ** self.k
+
+    def saturated(self, threshold: float = SATURATION_FP) -> bool:
+        return self.fp_rate() > threshold
 
     def with_hashes(self, hashes) -> "BloomShards":
         """Return a copy with extra keys OR-ed in, built driver-side.

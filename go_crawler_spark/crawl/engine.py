@@ -37,7 +37,7 @@ from __future__ import annotations
 import os
 import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -449,10 +449,11 @@ class CrawlEngine:
 
         Action discipline (the driver loop is the engine's only
         iterative part, so per-round job count is the constant factor
-        that survives to 10^10 scale): exactly four materializing
-        actions per round — trace status counts, robots/candidate
-        counts, fresh-increment checkpoint, and pages count —
-        everything downstream reuses those materialized frames."""
+        that survives to 10^10 scale): exactly three materializing
+        actions per round — trace-status + robots/candidate counts
+        (FUSED into one job via a unioned pair of tiny aggregates),
+        pages count, and the fresh-increment checkpoint — everything
+        downstream reuses those materialized frames."""
         dequeued = self._dequeue(
             pending.filter(F.col("status") == "PENDING")
         ).select("url_hash", "url", "host", "depth", "seq_path", "priority").persist()
@@ -497,13 +498,53 @@ class CrawlEngine:
             .persist()
         )
         t0 = time.time()
-        status_counts = {
-            r["status"]: r["count"]
-            for r in trace.groupBy("status").count().collect()  # action 1
-        }
-        t0 = _tlog("a1_trace_counts", t0)
+        flagged = self._discover(
+            hit.filter(F.col("ok") & (F.col("kind") == "list"))
+        )
+        if light_metrics:
+            # throughput mode: skip the robots/candidate counts — stats
+            # carry -1 sentinels (run()'s pending arithmetic only needs
+            # dequeued and enqueued)
+            status_counts = {
+                r["status"]: r["count"]
+                for r in trace.groupBy("status").count().collect()  # action 1
+            }
+            n_candidates, n_robots = -1, -1
+            t0 = _tlog("a1_trace_counts", t0)
+        else:
+            # actions 1+3 FUSED: one job computes (and, via the persists,
+            # caches) both the trace statuses and the discovery frame —
+            # two tiny aggregates unioned, one driver round-trip instead
+            # of two (the fixed per-round driver cost is the e2e loop's
+            # serial axis, so every action fold shows up in urls/sec)
+            flagged = flagged.persist()
+            rows = (
+                trace.groupBy(F.col("status").alias("key"))
+                .count()
+                .withColumn("src", F.lit("trace"))
+                .unionByName(
+                    flagged.groupBy(
+                        F.col("robots_reject").cast("string").alias("key")
+                    )
+                    .count()
+                    .withColumn("src", F.lit("robots"))
+                )
+                .collect()  # action 1
+            )
+            status_counts = {
+                r["key"]: r["count"] for r in rows if r["src"] == "trace"
+            }
+            reject_counts = {
+                r["key"] == "true": r["count"]
+                for r in rows
+                if r["src"] == "robots"
+            }
+            n_candidates = int(reject_counts.get(False, 0))
+            n_robots = int(reject_counts.get(True, 0))
+            t0 = _tlog("a1_trace_discover_counts", t0)
         n_dequeued = sum(status_counts.values())
         n_ok = int(status_counts.get("SUCCESS", 0))
+        allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
 
         pages = None
         if with_payload_verify:
@@ -530,33 +571,14 @@ class CrawlEngine:
             pages.count()  # action 2 — decode map-side over corpus partitions
             t0 = _tlog("a2_decode_verify", t0)
 
-        flagged = self._discover(
-            hit.filter(F.col("ok") & (F.col("kind") == "list"))
-        )
-        if light_metrics:
-            # throughput mode: skip the robots/candidate count action —
-            # stats carry -1 sentinels (run()'s pending arithmetic only
-            # needs dequeued and enqueued)
-            n_candidates, n_robots = -1, -1
-        else:
-            flagged = flagged.persist()
-            reject_counts = {
-                bool(r["robots_reject"]): r["count"]
-                for r in flagged.groupBy("robots_reject").count().collect()  # a3
-            }
-            t0 = _tlog("a3_discover_counts", t0)
-            n_candidates = int(reject_counts.get(False, 0))
-            n_robots = int(reject_counts.get(True, 0))
-        allowed = flagged.filter(~F.col("robots_reject")).drop("robots_reject")
-
-        # action 4: checkpoint ONLY the fresh increment (bounded by the
+        # action 3: checkpoint ONLY the fresh increment (bounded by the
         # round's politeness budget × fanout) — the count afterwards
         # reads the materialized blocks, it does not recompute
         fresh = self.dedupe_new(
             allowed, seen_hashes, bloom, round_no
         ).localCheckpoint(eager=True)
         n_fresh = fresh.count()
-        t0 = _tlog("a4_dedupe_fresh", t0)
+        t0 = _tlog("a3_dedupe_fresh", t0)
 
         stats = RoundStats(
             round=round_no,
@@ -615,6 +637,7 @@ class CrawlEngine:
         # pending count is maintained arithmetically across rounds —
         # no per-round full-frontier scan just to decide termination
         pending = pending_df.count()
+        bloom_cfg = cfg  # grows bloom_shards on saturation rebuilds
         bloom = (
             BloomShards.build(base.select("url_hash"), cfg) if use_bloom else None
         )
@@ -648,7 +671,20 @@ class CrawlEngine:
                     bloom = bloom.with_hashes([r["url_hash"] for r in rows])
                 else:  # giant round: distributed build + OR-merge
                     bloom = bloom.union(
-                        BloomShards.build(fresh.select("url_hash"), cfg)
+                        BloomShards.build(fresh.select("url_hash"), bloom_cfg)
+                    )
+                # saturation policy (bloom.py module doc): estimated fp
+                # above threshold → rebuild from the exact seen set with
+                # doubled shard count. Amortized: each rebuild doubles
+                # capacity, so O(log growth) rebuilds per crawl — one
+                # extra counted action per rebuild, not per round.
+                if bloom.saturated():
+                    bloom_cfg = replace(
+                        bloom_cfg, bloom_shards=bloom_cfg.bloom_shards * 2
+                    )
+                    bloom = BloomShards.build(
+                        seen_hashes.unionByName(fresh.select("url_hash")),
+                        bloom_cfg,
                     )
             increments.append(fresh)
             seen_hashes = seen_hashes.unionByName(fresh.select("url_hash"))

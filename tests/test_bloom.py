@@ -63,3 +63,62 @@ def test_with_hashes_matches_build(spark, built):
     assert via_driver.maybe_contains(pd.Series(extra)).all()
     for sid in via_build.shards:
         assert (via_driver.shards[sid] == via_build.shards[sid]).all()
+
+
+def test_saturation_estimate_and_rebuild(spark):
+    """Saturation must degrade to correct-but-slower, never wrong: a
+    drastically undersized filter still has NO false negatives (tier 2
+    keeps exactness); fp_rate reports the saturation; rebuilding with
+    doubled shards (the engine's policy) brings the estimate back down."""
+    tiny = CrawlConfig(bloom_shards=1, bloom_bits_per_shard=1 << 10, bloom_hashes=5)
+    keys = np.arange(5000, dtype=np.int64) * 97 + 13
+    df = spark.createDataFrame([(int(k),) for k in keys], ["url_hash"])
+    bloom = BloomShards.build(df, tiny)
+
+    assert bloom.maybe_contains(pd.Series(keys)).all()  # never a false neg
+    assert bloom.fp_rate() > 0.9 and bloom.saturated()  # honest estimate
+
+    # the engine's rebuild policy: same keys, doubled shard count, until
+    # the estimate clears the threshold — capacity doubles per step
+    from dataclasses import replace
+
+    cfg = tiny
+    rebuilt = bloom
+    for _ in range(12):
+        if not rebuilt.saturated():
+            break
+        cfg = replace(cfg, bloom_shards=cfg.bloom_shards * 2)
+        rebuilt = BloomShards.build(df, cfg)
+    assert not rebuilt.saturated()
+    assert rebuilt.maybe_contains(pd.Series(keys)).all()
+    assert rebuilt.fp_rate() < bloom.fp_rate()
+
+
+def test_engine_saturated_bloom_exactness(spark):
+    """End-to-end: a crawl forced through a saturated 64-bit filter must
+    produce byte-identical traces to the roomy-filter run — the exact
+    tier guarantees results, the Bloom tier only prunes."""
+    from go_crawler_spark.crawl import corpus
+    from go_crawler_spark.crawl.config import CorpusSpec
+    from go_crawler_spark.crawl.engine import CrawlEngine
+
+    spec = CorpusSpec(n_hosts=2, lists_per_host=2, pages_per_list=2,
+                      details_per_page=4, payloads=False)
+    starved = CrawlConfig(round_seconds=36000.0, per_page=4, max_rounds=6,
+                          bloom_shards=1, bloom_bits_per_shard=64,
+                          bloom_hashes=2)
+    roomy = CrawlConfig(round_seconds=36000.0, per_page=4, max_rounds=6,
+                        bloom_shards=8, bloom_bits_per_shard=1 << 20,
+                        bloom_hashes=5)
+    corpus_df = corpus.build_corpus(spark, spec).localCheckpoint(eager=True)
+    robots_df = corpus.build_robots(spark, spec, starved.disallow)
+
+    runs = {}
+    for name, cfg in (("starved", starved), ("roomy", roomy)):
+        res = CrawlEngine(spark, cfg, corpus_df, robots_df).run(
+            spec=spec, with_payload_verify=False
+        )
+        runs[name] = sorted(
+            map(tuple, res.trace.select("round", "url", "status").collect())
+        )
+    assert runs["starved"] == runs["roomy"]
