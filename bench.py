@@ -114,6 +114,7 @@ def main() -> None:
         "job_posting_csv",  # composed 26-column scraper pipeline
         "embedding_neardup",  # LSH-bucketed near-dup scale path
         "ann_lsh_topk",  # the 100 TB ANN shape — regressions must be visible
+        "phash_neardup",  # banded perceptual-hash image near-dup
         "robots_parse",
         "stream_windowed_counts",  # structured-streaming representative
     ]

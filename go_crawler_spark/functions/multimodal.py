@@ -133,3 +133,136 @@ def q_image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in _META_SCHEMA.fields])
 
     return payload.mapInPandas(extract, schema=_META_SCHEMA)
+
+
+# --- perceptual-hash near-duplicate detection -------------------------------
+# The image analog of MinHash LSH: near-identical images (re-encodes,
+# small crops/edits) land within a few bits of each other in the 64-bit
+# average-hash, so banding the hash into 4 × 16-bit keys and equi-joining
+# on (band_id, band_val) finds candidates without an all-pairs scan —
+# one differing pair-bit can break at most one band, so pairs within
+# Hamming distance 3 ALWAYS share a band (pigeonhole), and the planted
+# variants here stay well under that. Exact Hamming rerank
+# (bit_count(a XOR b), JVM-side) kills band collisions.
+
+PHASH_N_DOCS = 300  # deterministic subset: doc_id < 300
+PHASH_VARIANT_OFFSET = 100_000  # planted near-dup img_id = doc_id + offset
+PHASH_MAX_HAMMING = 8
+_PHASH_BANDS = 4  # 64-bit hash → 4 × 16-bit bands
+
+
+def _phash_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic high-entropy 32×32 RGB image per doc (PCG64-seeded).
+
+    The engine corpus's truth_pixels are deliberately blocky (codec
+    invariants), which concentrates their phashes — unusable for a
+    near-dup operator whose whole point is that unrelated images sit
+    ~32 bits apart. Photo-like entropy puts unrelated pairs at
+    Binomial(64, ½) Hamming distance, far above the threshold."""
+    rng = np.random.Generator(np.random.PCG64(doc_id))
+    return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+
+def _phash_rows(doc_ids) -> list[dict]:
+    """Deterministic (img_id, phash) corpus: one base image per doc, plus
+    a perturbed near-copy for doc_id % 10 == 7 (a small brightness patch
+    — the re-encode/minor-edit class phash dedup exists to catch)."""
+    rows = []
+    for did in doc_ids:
+        did = int(did)
+        px = _phash_pixels(did)
+        rows.append({"img_id": did, "phash": codec.phash64(px)})
+        if did % 10 == 7:
+            edited = px.copy()
+            h, w = edited.shape[:2]
+            patch = edited[: h // 8, : w // 8].astype(np.int16)
+            edited[: h // 8, : w // 8] = np.clip(patch + 9, 0, 255).astype(
+                np.uint8
+            )
+            rows.append(
+                {
+                    "img_id": did + PHASH_VARIANT_OFFSET,
+                    "phash": codec.phash64(edited),
+                }
+            )
+    return rows
+
+
+def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < PHASH_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = _phash_rows(pdf["doc_id"])
+            yield pd.DataFrame(rows, columns=["img_id", "phash"])
+
+    return docs.mapInPandas(synth, schema="img_id long, phash long")
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs via banded equi-join + Hamming
+    rerank: (img_a, img_b, hamming) with hamming ≤ PHASH_MAX_HAMMING
+    among pairs sharing ≥1 of 4 16-bit bands.
+
+    Scale shape: band rows are (img_id, band_id, band_val int) — the
+    join shuffles 4 tiny rows per image on exact band keys, never
+    pixels, never all-pairs; the rerank is codegen'd bit_count(XOR).
+    At 100 TB this is the same bucket-equi-join plan as MinHash LSH
+    (same hot-bucket hygiene applies — reuse the cap pattern if a
+    constant-color image class floods one band)."""
+    corpus = phash_corpus(spark, sf_dir)
+    bands = corpus.select(
+        "img_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("phash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"b{b}")
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("img_a"),
+            F.col("b.img_id").alias("img_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+def phash_neardup_golden() -> list[tuple[int, int, int]]:
+    """Pure-Python replay of the banded join + rerank over the full
+    PHASH_N_DOCS corpus — the golden rows the DuckDB oracle pins. Same
+    kernel (codec.phash64), same band rule, brute-forced."""
+    rows = _phash_rows(range(PHASH_N_DOCS))
+    out = []
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            x, y = sorted((ra, rb), key=lambda r: r["img_id"])
+            ha = x["phash"] & 0xFFFFFFFFFFFFFFFF
+            hb = y["phash"] & 0xFFFFFFFFFFFFFFFF
+            shares_band = any(
+                (ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                for k in range(_PHASH_BANDS)
+            )
+            hamming = bin(ha ^ hb).count("1")
+            if shares_band and hamming <= PHASH_MAX_HAMMING:
+                out.append((x["img_id"], y["img_id"], hamming))
+    return sorted(out)

@@ -961,6 +961,26 @@ SELECT CAST(g.doc_id AS BIGINT)      AS doc_id,
 FROM golden g JOIN documents d ON d.doc_id = g.doc_id
 """
 
+def _phash_neardup_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import phash_neardup_golden
+
+    return ",\n    ".join(
+        f"({a}, {b}, {h})" for a, b, h in phash_neardup_golden()
+    )
+
+
+PHASH_NEARDUP = f"""
+WITH golden(img_a, img_b, hamming) AS (
+  VALUES
+    {_phash_neardup_golden_values()})
+SELECT CAST(g.img_a AS BIGINT) AS img_a,
+       CAST(g.img_b AS BIGINT) AS img_b,
+       CAST(g.hamming AS INT)  AS hamming
+FROM golden g
+JOIN documents a ON a.doc_id = g.img_a % 100000
+JOIN documents b ON b.doc_id = g.img_b % 100000
+"""
+
 EXACT_DEDUP = """
 SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
        CAST(count(*) AS BIGINT)    AS n_copies

@@ -153,6 +153,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_image_meta_extract,
         oracles.IMAGE_META_EXTRACT,
     ),
+    "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
 }
 
 

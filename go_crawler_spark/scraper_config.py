@@ -50,7 +50,17 @@ REQUIRED_FIELDS = (
     "benefits",
 )
 
-DEFAULT_CONFIG_PATH = Path(__file__).parent / "settings" / "scraper.yaml"
+def _default_config_text() -> str:
+    """The packaged default table, read zip-safely: under spark-submit
+    --py-files the package is imported from a zip, where __file__ paths
+    don't exist on the filesystem — importlib.resources handles both."""
+    from importlib import resources
+
+    return (
+        resources.files("go_crawler_spark")
+        .joinpath("settings/scraper.yaml")
+        .read_text(encoding="utf-8")
+    )
 
 
 @dataclass(frozen=True)
@@ -84,8 +94,13 @@ def load_scraper_config(path: str | Path | None = None) -> dict[str, FieldSpec]:
     """Load + eagerly validate the selector table; raises ValueError on
     any malformed entry, unknown key, or missing required field (the
     go-playground/validator behavior of LoadScraperConfig)."""
-    p = Path(path) if path is not None else DEFAULT_CONFIG_PATH
-    raw = yaml.safe_load(p.read_text(encoding="utf-8"))
+    if path is None:
+        p: str | Path = "settings/scraper.yaml (packaged default)"
+        text = _default_config_text()
+    else:
+        p = Path(path)
+        text = p.read_text(encoding="utf-8")
+    raw = yaml.safe_load(text)
     if not isinstance(raw, dict) or not isinstance(raw.get("fields"), dict):
         raise ValueError(f"{p}: expected a top-level 'fields' mapping")
     fields: dict[str, FieldSpec] = {}

@@ -229,3 +229,41 @@ def test_minhash_lsh_hot_bucket_guard(spark, tmp_path):
         for r in q_minhash_lsh_candidates(spark, sf_dir).collect()
     }
     assert len(ungated) == 780 + 1
+
+
+def test_phash_neardup_recall_and_parity(spark, sf_small):
+    """The banded phash join must equal pure-Hamming brute force over
+    the corpus (recall 1.0 — pairs within distance 3 always share one
+    of the 4 bands by pigeonhole; the planted variants sit at 0-2), and
+    every planted variant pair must be found."""
+    from go_crawler_spark.functions.multimodal import (
+        PHASH_MAX_HAMMING,
+        PHASH_VARIANT_OFFSET,
+        _phash_rows,
+        q_phash_neardup,
+    )
+    from go_crawler_spark.tables import load as load_table
+
+    got = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in q_phash_neardup(spark, sf_small).collect()
+    }
+    doc_ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 300)
+        .collect()
+    ]
+    rows = _phash_rows(sorted(doc_ids))
+    brute = set()
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            x, y = sorted((ra, rb), key=lambda r: r["img_id"])
+            ham = bin((x["phash"] ^ y["phash"]) & (2**64 - 1)).count("1")
+            if ham <= PHASH_MAX_HAMMING:
+                brute.add((x["img_id"], y["img_id"], ham))
+    assert got == brute and len(got) > 0
+    planted = {p for p in brute if p[1] == p[0] + PHASH_VARIANT_OFFSET}
+    assert planted <= got
+    assert len(planted) == sum(1 for d in doc_ids if d % 10 == 7)

@@ -30,7 +30,9 @@ def main() -> None:
             if "__pycache__" in root:
                 continue
             for f in sorted(files):
-                if not f.endswith(".py"):
+                # .py modules plus packaged config data (settings/*.yaml —
+                # read zip-safely via importlib.resources)
+                if not (f.endswith(".py") or f.endswith(".yaml")):
                     continue
                 full = os.path.join(root, f)
                 arc = os.path.relpath(full, REPO)

@@ -89,6 +89,13 @@ def main() -> None:
     BENCH.md for the methodology table.
     """
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 48_000
+    # SPARK_GRAFT_SCALING_LEVELS="2,8" runs only the gate pair (the ≥384 k
+    # amortization runs skip local[32]: that level heap-thrashes above
+    # ~96 k payloads holding the whole corpus in one JVM — BENCH.md §2a)
+    levels = tuple(
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
+    )
     import tempfile
 
     existing = os.environ.get("SPARK_GRAFT_SCALING_CORPUS")
@@ -105,9 +112,9 @@ def main() -> None:
     # apart), so consecutive same-level runs would let slow drift land
     # entirely on one level; interleaving spreads it across all three.
     # Best-of-N per level isolates the steady state.
-    raw: dict[int, list[dict]] = {2: [], 8: [], 32: []}
+    raw: dict[int, list[dict]] = {c: [] for c in levels}
     for i in range(3):
-        for cpus in (2, 8, 32):
+        for cpus in levels:
             r = run_at(cpus, n_rows, path)
             raw[cpus].append(r)
             print(f"  round {i} local[{cpus}]: {r['elapsed_sec']}s",
@@ -122,15 +129,18 @@ def main() -> None:
             f"({[r['elapsed_sec'] for r in raw[cpus]]}s, best kept)",
             file=sys.stderr,
         )
-    eff_2_8 = results[8]["urls_per_sec"] / (4.0 * results[2]["urls_per_sec"])
-    eff_8_32 = results[32]["urls_per_sec"] / (4.0 * results[8]["urls_per_sec"])
     result = {
         "n_rows": n_rows,
         "runs": {f"local{c}": r for c, r in results.items()},
-        "efficiency_2_to_8": round(eff_2_8, 3),
-        "efficiency_8_to_32": round(eff_8_32, 3),
-        "meets_0.8_gate_2_to_8": eff_2_8 >= 0.8,
     }
+    if 2 in results and 8 in results:
+        eff_2_8 = results[8]["urls_per_sec"] / (4.0 * results[2]["urls_per_sec"])
+        result["efficiency_2_to_8"] = round(eff_2_8, 3)
+        result["meets_0.8_gate_2_to_8"] = eff_2_8 >= 0.8
+    if 8 in results and 32 in results:
+        result["efficiency_8_to_32"] = round(
+            results[32]["urls_per_sec"] / (4.0 * results[8]["urls_per_sec"]), 3
+        )
     print(json.dumps(result))
 
 
