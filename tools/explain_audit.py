@@ -58,6 +58,26 @@ AUDITED = {
         ["HashAggregate"],
         ["CartesianProduct"],
     ),
+    # similarity scale paths: all must be bucket equi-joins (hash join on
+    # band/bucket keys), never an all-pairs product. The residual
+    # non-equi parts (Hamming/img_id ordering, cosine rerank) must ride
+    # the hash join as a post-condition, not force a nested loop.
+    "phash_neardup": (
+        ["BroadcastHashJoin", "bit_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    "minhash_lsh_candidates": (
+        ["Window", "BroadcastHashJoin"],  # Window = hot-bucket cap guard
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "embedding_neardup": (
+        ["BroadcastHashJoin", "zip_with"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    "ann_lsh_topk": (
+        ["BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
