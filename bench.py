@@ -114,7 +114,10 @@ def main() -> None:
         "job_posting_csv",  # composed 26-column scraper pipeline
         "embedding_neardup",  # LSH-bucketed near-dup scale path
         "ann_lsh_topk",  # the 100 TB ANN shape — regressions must be visible
+        "ann_ivf_topk",  # coarse-quantizer ANN scale path
         "phash_neardup",  # banded perceptual-hash image near-dup
+        "video_frame_sample",  # multimodal video → sampled-frame features
+        "audio_features",  # multimodal audio → integer clip features
         "robots_parse",
         "stream_windowed_counts",  # structured-streaming representative
     ]

@@ -15,6 +15,8 @@ a one-function change (tests assert the stub contract).
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -245,6 +247,219 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+# --- video frame-sampling ---------------------------------------------------
+# Video travels as one opaque binary cell per row; frame-sampling is the
+# canonical training-data op (every-Nth frame → per-frame features).
+# External containers (mp4/mkv) need ffmpeg, absent here — sample_frames
+# above keeps that production signature stubbed. The REAL path below
+# runs the same Spark plumbing on the project's own container format:
+# VID1 | u16 n_frames | u16 fps | n_frames × [u32 len | codec payload].
+# The kernel parses the container, decodes ONLY the sampled frames
+# (seeks over the rest by length prefix — at 100 TB you skip ~2/3 of
+# the decode work and all skipped bytes stay in the same cell, no
+# shuffle), and emits integer-typed per-frame features.
+
+VIDEO_N_DOCS = 60  # deterministic subset: doc_id < 60
+VIDEO_SAMPLE_EVERY = 3
+_VID_MAGIC = b"VID1"
+
+
+def video_bytes(vid_id: int) -> bytes:
+    """Deterministic video container for a doc: 8 + vid_id % 5 frames,
+    each the codec payload of image id ``vid-{vid_id}-f{j}``."""
+    n_frames = 8 + vid_id % 5
+    fps = 10 + vid_id % 5
+    parts = [_VID_MAGIC, struct.pack("<HH", n_frames, fps)]
+    for j in range(n_frames):
+        fb = codec.payload_for(f"vid-{vid_id}-f{j}")["bytes"]
+        parts.append(struct.pack("<I", len(fb)))
+        parts.append(fb)
+    return b"".join(parts)
+
+
+def sample_frames_project(payload: bytes, every_n: int):
+    """Parse the project container; yield (n_frames, frame_idx, t_ms,
+    pixels) for every-Nth frame, seeking past unsampled frames."""
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("bad video magic")
+    n_frames, fps = struct.unpack("<HH", payload[4:8])
+    off = 8
+    for j in range(n_frames):
+        (ln,) = struct.unpack("<I", payload[off : off + 4])
+        off += 4
+        if j % every_n == 0:
+            px, _ = codec.decode(payload[off : off + ln])
+            yield n_frames, j, j * 1000 // fps, px
+        off += ln
+
+
+_FRAME_SCHEMA = (
+    "vid_id long, n_frames int, frame_idx int, t_ms long, "
+    "w int, h int, phash long"
+)
+
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video binary → sampled-frame features: one row per every-3rd
+    frame with (t_ms, w, h, phash). Two mapInPandas stages like the
+    image pipeline; pixels never surface to the JVM. Golden-VALUES
+    oracle (oracles.VIDEO_FRAME_SAMPLE) pins every output value."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < VIDEO_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [
+                {"vid_id": int(did), "bytes": video_bytes(int(did))}
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["vid_id", "bytes"])
+
+    payload = docs.mapInPandas(synth, schema="vid_id long, bytes binary")
+
+    def sample(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                for n_frames, j, t_ms, px in sample_frames_project(
+                    row.bytes, VIDEO_SAMPLE_EVERY
+                ):
+                    out.append(
+                        {
+                            "vid_id": row.vid_id,
+                            "n_frames": n_frames,
+                            "frame_idx": j,
+                            "t_ms": t_ms,
+                            "w": px.shape[1],
+                            "h": px.shape[0],
+                            "phash": codec.phash64(px),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "vid_id", "n_frames", "frame_idx", "t_ms", "w", "h", "phash",
+                ],
+            )
+
+    return payload.mapInPandas(sample, schema=_FRAME_SCHEMA)
+
+
+def video_frame_golden() -> list[tuple]:
+    """Pure-Python replay over the full subset — the rows the oracle pins."""
+    out = []
+    for vid in range(VIDEO_N_DOCS):
+        for n_frames, j, t_ms, px in sample_frames_project(
+            video_bytes(vid), VIDEO_SAMPLE_EVERY
+        ):
+            out.append(
+                (vid, n_frames, j, t_ms, px.shape[1], px.shape[0],
+                 codec.phash64(px))
+            )
+    return out
+
+
+# --- audio feature extraction -----------------------------------------------
+# Audio as an opaque PCM binary cell: AUD1 | u16 sample_rate | u32
+# n_samples | int16-LE samples. Real-world codecs (mp3/ogg) would need
+# ffmpeg (absent — stubbed above with sample_frames' sibling signature);
+# the project container exercises the identical Spark plumbing. Features
+# are ALL integer math (sum of squares instead of float RMS, peak,
+# zero-crossings, duration in ms via integer division) so the golden
+# oracle is exact with no fold-order care.
+
+AUDIO_N_DOCS = 80  # deterministic subset: doc_id < 80
+_AUD_MAGIC = b"AUD1"
+
+
+def audio_bytes(aud_id: int) -> bytes:
+    """Deterministic PCM clip: integer sawtooth + PCG64 dither, length
+    and rate varying with the id (pure function, no side state)."""
+    rate = (8 + aud_id % 3) * 1000  # 8/9/10 kHz
+    n = 2000 + (aud_id * 37) % 1500
+    period = 20 + aud_id % 30
+    t = np.arange(n, dtype=np.int64)
+    saw = ((t % period) * 2000 // period - 1000).astype(np.int64)
+    rng = np.random.Generator(np.random.PCG64(aud_id + 7_000_000))
+    dither = rng.integers(-50, 51, size=n, dtype=np.int64)
+    samples = np.clip(saw + dither, -32768, 32767).astype("<i2")
+    return (
+        _AUD_MAGIC
+        + struct.pack("<HI", rate, n)
+        + samples.tobytes()
+    )
+
+
+def audio_features_of(payload: bytes) -> dict:
+    """Integer features of one clip (vectorized numpy, no per-sample
+    Python): duration_ms, sum of squares, peak |amplitude|,
+    zero-crossing count."""
+    if payload[:4] != _AUD_MAGIC:
+        raise ValueError("bad audio magic")
+    rate, n = struct.unpack("<HI", payload[4:10])
+    s = np.frombuffer(payload, dtype="<i2", offset=10, count=n).astype(np.int64)
+    signs = s >= 0
+    return {
+        "sample_rate": int(rate),
+        "n_samples": int(n),
+        "duration_ms": int(n) * 1000 // int(rate),
+        "sum_sq": int(np.einsum("i,i->", s, s)),
+        "peak": int(np.abs(s).max()),
+        "zero_crossings": int(np.count_nonzero(signs[1:] != signs[:-1])),
+    }
+
+
+_AUDIO_SCHEMA = (
+    "aud_id long, sample_rate int, n_samples int, duration_ms long, "
+    "sum_sq long, peak int, zero_crossings int"
+)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio binary → integer feature row per clip; two mapInPandas
+    stages (synth payload, extract), samples never surface to the JVM."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < AUDIO_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [
+                {"aud_id": int(did), "bytes": audio_bytes(int(did))}
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["aud_id", "bytes"])
+
+    payload = docs.mapInPandas(synth, schema="aud_id long, bytes binary")
+
+    cols = [
+        "aud_id", "sample_rate", "n_samples", "duration_ms",
+        "sum_sq", "peak", "zero_crossings",
+    ]
+
+    def extract(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                out.append({"aud_id": row.aud_id, **audio_features_of(row.bytes)})
+            yield pd.DataFrame(out, columns=cols)
+
+    return payload.mapInPandas(extract, schema=_AUDIO_SCHEMA)
+
+
+def audio_features_golden() -> list[tuple]:
+    """Pure-Python replay over the full subset for the oracle."""
+    out = []
+    for aud in range(AUDIO_N_DOCS):
+        f = audio_features_of(audio_bytes(aud))
+        out.append(
+            (aud, f["sample_rate"], f["n_samples"], f["duration_ms"],
+             f["sum_sq"], f["peak"], f["zero_crossings"])
+        )
+    return out
 
 
 def phash_neardup_golden() -> list[tuple[int, int, int]]:

@@ -573,3 +573,86 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN — the coarse-quantizer variant of the scale path. Instead of
+# data-independent hyperplane signs (q_ann_lsh_topk), the corpus is
+# partitioned into inverted lists around data-derived centroids; a query
+# probes only its IVF_NPROBE nearest cells. Centroids here are pivot
+# rows selected by a fixed residue rule (vec_id ≡ IVF_PIVOT_REM mod
+# IVF_PIVOT_MOD) — deterministic, derived from the same table on both
+# engines, no RNG/iteration state to ship to the oracle (k-means++
+# seeding without Lloyd iterations; at 100 TB the centroid set would be
+# a trained artifact loaded as a small dim table, same plan shape).
+#
+# Scale shape: the centroid side is broadcast (K rows ≪ corpus);
+# assignment scores K candidates per row but projects to (vec_id, cid,
+# cos) before the max_by partial aggregate, so map-side combine
+# collapses to one (vec_id, cell) row per vector BEFORE any shuffle —
+# the embedding payload never rides the assignment shuffle. Probing is
+# a window over the query side only (tiny). Candidate generation is a
+# broadcast hash join on the int cell key; exact cosine reranks
+# in-cell. Recall is traded for the prune (the documented IVF
+# contract); the recall floor vs brute force is pinned in
+# tests/test_extraction.py.
+# --------------------------------------------------------------------------
+
+IVF_PIVOT_MOD = 29
+IVF_PIVOT_REM = 3
+IVF_NPROBE = 2
+IVF_TOPK = 3
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cosine top-3: assign corpus to nearest pivot centroid, probe
+    the IVF_NPROBE best cells per query, exact-rerank in-cell."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(
+        F.col("vec_id") % IVF_PIVOT_MOD == IVF_PIVOT_REM
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    scored = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            cosine(F.col("embedding"), F.col("cvec")).alias("c_cos"),
+        )
+    )
+    # argmax via max_by over a lexicographic (c_cos, -cid) struct: ties
+    # on the exact double break toward the smaller centroid id — the
+    # same winner as the oracle's ORDER BY c_cos DESC, cid ASC
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg_cid"))
+        ).alias("cell")
+    )
+    corpus = emb.join(assign, "vec_id")
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % 100 == 0)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    qvecs = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qvecs), "query_id")
+    )
+    sim = F.round(cosine(F.col("qvec"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= IVF_TOPK)
+    )

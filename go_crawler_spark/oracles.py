@@ -919,6 +919,56 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 WHERE rank <= 3
 """
 
+# --- IVF ANN (coarse-quantizer scale path) -----------------------------------
+# Mirror of q_ann_ivf_topk: pivot centroids by residue rule, nearest-cell
+# assignment (ORDER BY raw-double cos DESC, cid ASC — same winner as
+# Spark's max_by over the (c_cos, -cid) struct), top-NPROBE probes per
+# query, in-cell exact rerank. All double folds left-to-right in the
+# same element order, all norm products in the same operand order.
+
+from go_crawler_spark.functions.similarity import (  # noqa: E402
+    IVF_NPROBE,
+    IVF_PIVOT_MOD,
+    IVF_PIVOT_REM,
+    IVF_TOPK,
+)
+
+ANN_IVF_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM embeddings),
+c AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+  FROM e WHERE vec_id % {IVF_PIVOT_MOD} = {IVF_PIVOT_REM}),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {_dot_sql('e.embedding', 'c.cvec')} / (e.nrm * c.cnrm) AS c_cos
+  FROM e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) AS rn
+    FROM scored WHERE vec_id % 100 = 0) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         round({_dot_sql('q.embedding', 'n.embedding')} / (q.nrm * n.nrm), 6)
+           AS cos_sim
+  FROM assign a
+  JOIN probes p USING (cell)
+  JOIN e n ON n.vec_id = a.vec_id
+  JOIN e q ON q.vec_id = p.query_id
+  WHERE n.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM cand)
+WHERE rank <= {IVF_TOPK}
+"""
+
 # --- multimodal golden oracle ------------------------------------------------
 # The image codec is sha-seeded and not expressible in SQL, so the
 # oracle is a golden VALUES table generated at import time by the same
@@ -960,6 +1010,55 @@ SELECT CAST(g.doc_id AS BIGINT)      AS doc_id,
        CAST(g.thumb_phash AS BIGINT) AS thumb_phash
 FROM golden g JOIN documents d ON d.doc_id = g.doc_id
 """
+
+def _video_frame_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import video_frame_golden
+
+    return ",\n    ".join(
+        f"({v}, {n}, {j}, {t}, {w}, {h}, {p})"
+        for v, n, j, t, w, h, p in video_frame_golden()
+    )
+
+
+VIDEO_FRAME_SAMPLE = f"""
+WITH golden(vid_id, n_frames, frame_idx, t_ms, w, h, phash) AS (
+  VALUES
+    {_video_frame_golden_values()})
+SELECT CAST(g.vid_id AS BIGINT)   AS vid_id,
+       CAST(g.n_frames AS INT)    AS n_frames,
+       CAST(g.frame_idx AS INT)   AS frame_idx,
+       CAST(g.t_ms AS BIGINT)     AS t_ms,
+       CAST(g.w AS INT)           AS w,
+       CAST(g.h AS INT)           AS h,
+       CAST(g.phash AS BIGINT)    AS phash
+FROM golden g JOIN documents d ON d.doc_id = g.vid_id
+"""
+
+
+def _audio_features_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import audio_features_golden
+
+    return ",\n    ".join(
+        f"({a}, {r}, {n}, {d}, {s}, {p}, {z})"
+        for a, r, n, d, s, p, z in audio_features_golden()
+    )
+
+
+AUDIO_FEATURES = f"""
+WITH golden(aud_id, sample_rate, n_samples, duration_ms, sum_sq, peak,
+            zero_crossings) AS (
+  VALUES
+    {_audio_features_golden_values()})
+SELECT CAST(g.aud_id AS BIGINT)        AS aud_id,
+       CAST(g.sample_rate AS INT)      AS sample_rate,
+       CAST(g.n_samples AS INT)        AS n_samples,
+       CAST(g.duration_ms AS BIGINT)   AS duration_ms,
+       CAST(g.sum_sq AS BIGINT)        AS sum_sq,
+       CAST(g.peak AS INT)             AS peak,
+       CAST(g.zero_crossings AS INT)   AS zero_crossings
+FROM golden g JOIN documents d ON d.doc_id = g.aud_id
+"""
+
 
 def _phash_neardup_golden_values() -> str:
     from go_crawler_spark.functions.multimodal import phash_neardup_golden

@@ -147,6 +147,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
     "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
     "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
+    "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
     # multimodal binary-column plumbing (golden VALUES oracle generated
     # by the same pure-Python codec — checks the Spark plumbing e2e)
     "image_meta_extract": (
@@ -154,6 +155,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles.IMAGE_META_EXTRACT,
     ),
     "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
+    "video_frame_sample": (
+        multimodal.q_video_frame_sample,
+        oracles.VIDEO_FRAME_SAMPLE,
+    ),
+    "audio_features": (multimodal.q_audio_features, oracles.AUDIO_FEATURES),
 }
 
 

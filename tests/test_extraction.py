@@ -267,3 +267,86 @@ def test_phash_neardup_recall_and_parity(spark, sf_small):
     planted = {p for p in brute if p[1] == p[0] + PHASH_VARIANT_OFFSET}
     assert planted <= got
     assert len(planted) == sum(1 for d in doc_ids if d % 10 == 7)
+
+
+def test_video_frame_sample(spark, sf_small):
+    """Container round-trip + sampling rule + distributed == golden."""
+    from go_crawler_spark.functions.multimodal import (
+        VIDEO_SAMPLE_EVERY,
+        q_video_frame_sample,
+        sample_frames_project,
+        video_bytes,
+        video_frame_golden,
+    )
+
+    # scalar: sampled indices are exactly every-Nth, t_ms integer math
+    vid = video_bytes(7)
+    frames = list(sample_frames_project(vid, VIDEO_SAMPLE_EVERY))
+    n_frames = frames[0][0]
+    assert [f[1] for f in frames] == list(range(0, n_frames, VIDEO_SAMPLE_EVERY))
+    fps = 10 + 7 % 5
+    assert all(t == j * 1000 // fps for _, j, t, _px in frames)
+
+    # distributed run reproduces the pure-Python golden exactly
+    got = {
+        (r["vid_id"], r["frame_idx"]): (
+            r["n_frames"], r["t_ms"], r["w"], r["h"], r["phash"]
+        )
+        for r in q_video_frame_sample(spark, sf_small).collect()
+    }
+    gold = {
+        (v, j): (n, t, w, h, p) for v, n, j, t, w, h, p in video_frame_golden()
+    }
+    assert got == gold and len(got) > 0
+
+
+def test_audio_features(spark, sf_small):
+    """Scalar feature math + distributed == golden."""
+    from go_crawler_spark.functions.multimodal import (
+        audio_bytes,
+        audio_features_of,
+        audio_features_golden,
+        q_audio_features,
+    )
+
+    f = audio_features_of(audio_bytes(5))
+    rate = (8 + 5 % 3) * 1000
+    n = 2000 + (5 * 37) % 1500
+    assert f["sample_rate"] == rate and f["n_samples"] == n
+    assert f["duration_ms"] == n * 1000 // rate
+    assert 0 < f["peak"] <= 1050 and f["sum_sq"] > 0
+    assert f["zero_crossings"] > 0
+
+    got = {
+        tuple(r) for r in q_audio_features(spark, sf_small).collect()
+    }
+    assert got == set(audio_features_golden()) and len(got) > 0
+
+
+def test_ann_ivf_structure_and_recall(spark, sf_small):
+    """IVF top-k: ranks are dense 1..n per query, n <= IVF_TOPK, and
+    recall vs brute-force top-3 clears the pinned floor. The corpus is
+    deterministic so recall is a constant (measured 0.467 on the
+    clusterless near-random test embeddings — the prune's documented
+    price; real clustered corpora recall far higher)."""
+    from go_crawler_spark.functions.similarity import (
+        IVF_TOPK,
+        q_ann_cosine_topk,
+        q_ann_ivf_topk,
+    )
+
+    ivf = q_ann_ivf_topk(spark, sf_small).collect()
+    assert len(ivf) > 0
+    per_q: dict[int, list] = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for rows in per_q.values():
+        assert len(rows) <= IVF_TOPK
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_cosine_topk(spark, sf_small).collect()
+        if r["rank"] <= IVF_TOPK
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(got & brute) / len(brute) >= 0.4

@@ -78,6 +78,23 @@ AUDITED = {
         ["BroadcastHashJoin"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # IVF: the K-row centroid cross is a broadcast NLJ by design (like
+    # location_parse's 47-row dim); assignment must partial-aggregate
+    # before any shuffle. max_by over a lexicographic struct plans as a
+    # partial+final SortAggregate pair (struct ordering is not
+    # hash-aggregable) — map-side combine is the property that matters,
+    # and the partial sort's input arrives clustered by vec_id (the
+    # centroid cross emits K consecutive rows per vector).
+    "ann_ivf_topk": (
+        ["BroadcastHashJoin", "SortAggregate", "partial_max_by"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # pure narrow pipeline: scan → synth kernel → sample kernel, no
+    # shuffle anywhere; pixels never surface to the JVM between stages
+    "video_frame_sample": (
+        ["MapInPandas", "Scan parquet"],
+        ["Exchange", "CartesianProduct"],
+    ),
 }
 
 
