@@ -113,6 +113,7 @@ def main() -> None:
         "fingerprint",
         "job_posting_csv",  # composed 26-column scraper pipeline
         "embedding_neardup",  # LSH-bucketed near-dup scale path
+        "neardup_components",  # star-contraction dedup clustering
         "ann_lsh_topk",  # the 100 TB ANN shape — regressions must be visible
         "ann_ivf_topk",  # coarse-quantizer ANN scale path
         "phash_neardup",  # banded perceptual-hash image near-dup

@@ -656,3 +656,115 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= IVF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup connected components — the clustering step of training-data
+# dedup: LSH candidate pairs → exact-Jaccard verified edges → connected
+# components → one canonical doc per component. Components are computed
+# with alternating large-star / small-star contraction (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", ACM SoCC 2014):
+# O(log² n) rounds of pure groupBy/join — no vertex ever holds its whole
+# component in memory, so the algorithm survives a 10^9-node dup graph
+# where label-propagation (O(diameter) rounds) and driver-side
+# union-find (O(V) driver memory) both die. Each round is one shuffle
+# on the node key; edge payload is two longs.
+#
+# The verify threshold is an exact RATIONAL compare (inter·DEN ≥
+# union·NUM on set sizes, all integer math) so Spark and the DuckDB
+# oracle agree bit-for-bit with no float-boundary hazard.
+# --------------------------------------------------------------------------
+
+NEARDUP_CC_NUM = 6  # Jaccard threshold NUM/DEN = 0.6, compared rationally
+NEARDUP_CC_DEN = 10
+CC_MAX_ITER = 25  # ≥ log²(n) for any test corpus; raise-on-overrun guard
+
+
+def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup edges (u < v): MinHash-LSH candidates whose
+    exact 3-gram-shingle Jaccard clears NEARDUP_CC_NUM/NEARDUP_CC_DEN."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", shingle_hashes(F.col("text")).alias("sh")
+    )
+    cand = q_minhash_lsh_candidates(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    # no broadcast hint: docs is only small at test SF — at 100 TB both
+    # sides are large and Catalyst/AQE picks the join strategy
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter((union > 0) & (inter * NEARDUP_CC_DEN >= union * NEARDUP_CC_NUM))
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    )
+
+
+def cc_star_contraction(edges: DataFrame, max_iter: int = CC_MAX_ITER) -> DataFrame:
+    """Alternating large-star/small-star until the edge set is stable.
+
+    Input: undirected edges (u, v). Output: star edges (u=node,
+    v=component root = min node id); roots and isolated nodes emit no
+    row. One counted Spark action per iteration (the convergence
+    signature — COUNT + BIT_XOR of xxhash64(u,v) in a single job);
+    localCheckpoint per iteration cuts the iterative lineage.
+    """
+    cur = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: every neighbor larger than u re-attaches to
+        # min(Γ(u) ∪ {u}); output edges are oriented child > parent
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lmin = lmin.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(lmin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: all ≤-neighbors (and u itself) attach to the min
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+            ).first()
+        )  # action 1/iter: convergence signature
+        cur = nxt
+        if sig == prev_sig:
+            return cur
+        prev_sig = sig
+    raise RuntimeError(f"cc_star_contraction: no fixpoint in {max_iter} iters")
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup component (min doc_id
+    reachable through verified edges) and whether it is the canonical
+    keeper. Deduping a 100 TB corpus = filter is_canonical."""
+    star = cc_star_contraction(neardup_edges(spark, sf_dir))
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(star.select(F.col("u").alias("doc_id"), "v"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("v"), F.col("doc_id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+    )

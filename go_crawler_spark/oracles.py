@@ -22,6 +22,8 @@ from go_crawler_spark.functions.similarity import (
     LSH_MAX_BUCKET,
     LSH_ROWS,
     MINHASH_PERMS,
+    NEARDUP_CC_DEN,
+    NEARDUP_CC_NUM,
     P31,
 )
 
@@ -315,8 +317,10 @@ def _minhash_sig_sql() -> str:
     return f"[{entries}]"
 
 
-MINHASH_LSH_CANDIDATES = f"""
-WITH toks AS (
+# shared CTE chain: tokens → minhash sig → LSH bands → hot-bucket cap →
+# candidate pairs (reused by MINHASH_LSH_CANDIDATES and NEARDUP_COMPONENTS
+# so the two oracles can never drift apart)
+_MINHASH_CAND_CTES = f"""toks AS (
   SELECT doc_id, list_distinct({_TOK}) AS ts FROM documents),
 th AS (
   SELECT doc_id, list_transform(ts, t -> {_poly_hash_sql('t')}) AS hs
@@ -333,10 +337,52 @@ capped AS (
   -- hot-bucket guard, same rule as q_minhash_lsh_candidates: a bucket
   -- with more than LSH_MAX_BUCKET docs is dropped before the self-join
   SELECT doc_id, band_id, band_key FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BUCKET})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM capped a JOIN capped b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id)"""
+
+MINHASH_LSH_CANDIDATES = f"""
+WITH {_MINHASH_CAND_CTES}
+SELECT doc_a, doc_b FROM cand
+"""
+
+NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE {_MINHASH_CAND_CTES},
+stoks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+shc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(ts) - 2 > 0
+                THEN list_transform(generate_series(1, len(ts) - 2),
+                                    i -> array_to_string(ts[i:i+2], ' '))
+                ELSE [] END,
+           s -> {_poly_hash_sql('s')})) AS hs
+  FROM stoks),
+edges AS (
+  -- exact rational Jaccard gate, same integer compare as neardup_edges
+  SELECT c.doc_a AS u, c.doc_b AS v
+  FROM cand c
+  JOIN shc a ON a.doc_id = c.doc_a
+  JOIN shc b ON b.doc_id = c.doc_b
+  WHERE len(list_distinct(a.hs || b.hs)) > 0
+    AND len(list_intersect(a.hs, b.hs)) * {NEARDUP_CC_DEN}
+        >= len(list_distinct(a.hs || b.hs)) * {NEARDUP_CC_NUM}),
+sym AS (
+  SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach AS (
+  SELECT DISTINCT u AS node, u AS r FROM sym
+  UNION
+  SELECT s.v AS node, reach.r FROM reach JOIN sym s ON s.u = reach.node),
+comp AS (
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 

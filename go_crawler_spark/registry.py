@@ -143,6 +143,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_minhash_lsh_candidates,
         oracles.MINHASH_LSH_CANDIDATES,
     ),
+    "neardup_components": (
+        similarity.q_neardup_components,
+        oracles.NEARDUP_COMPONENTS,
+    ),
     "simhash": (similarity.q_simhash, oracles.SIMHASH),
     "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
     "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),

@@ -350,3 +350,68 @@ def test_ann_ivf_structure_and_recall(spark, sf_small):
     }
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     assert len(got & brute) / len(brute) >= 0.4
+
+
+def _union_find(nodes, edges):
+    """Reference union-find (path compression) → {node: min-id root}."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min-id root for every node
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_star_contraction_vs_unionfind(spark):
+    """Star contraction on a pathological graph — a 60-node chain (the
+    worst case for label propagation: diameter 59), a 12-clique, one
+    isolated pair — must match union-find exactly and converge well
+    inside CC_MAX_ITER (O(log² n) rounds)."""
+    from go_crawler_spark.functions.similarity import (
+        CC_MAX_ITER,
+        cc_star_contraction,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 160)]
+    clique = [(a, b) for a in range(500, 512) for b in range(a + 1, 512)]
+    pair = [(900, 901)]
+    edges = chain + clique + pair
+    nodes = sorted({n for e in edges for n in e})
+    expected = _union_find(nodes, edges)
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    star = {r.u: r.v for r in cc_star_contraction(df, CC_MAX_ITER).collect()}
+    got = {n: star.get(n, n) for n in nodes}
+    assert got == expected
+
+
+def test_neardup_components_vs_unionfind(spark, sf_small):
+    """The full operator must equal union-find over its own verified
+    edge set: same components, canonical = min doc_id, singletons map
+    to themselves."""
+    from go_crawler_spark.functions.similarity import (
+        neardup_edges,
+        q_neardup_components,
+    )
+    from go_crawler_spark.tables import load
+
+    edges = [(r.u, r.v) for r in neardup_edges(spark, sf_small).collect()]
+    docs = [r.doc_id for r in
+            load(spark, sf_small, "documents").select("doc_id").collect()]
+    expected = _union_find(sorted(set(docs)), edges)
+
+    rows = q_neardup_components(spark, sf_small).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r.component == expected[r.doc_id], r
+        assert r.is_canonical == (r.component == r.doc_id)
+    # the corpus plants real dups: at least one non-trivial component
+    assert any(not r.is_canonical for r in rows)

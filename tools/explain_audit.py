@@ -95,6 +95,13 @@ AUDITED = {
         ["MapInPandas", "Scan parquet"],
         ["Exchange", "CartesianProduct"],
     ),
+    # components: the returned plan is docs ⟕ final-star (the star comes
+    # out of the last contraction checkpoint; each contraction round is
+    # its own equi-join-only job). Nothing here may nested-loop.
+    "neardup_components": (
+        ["Scan parquet"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
