@@ -117,6 +117,8 @@ def main() -> None:
         "ann_lsh_topk",  # the 100 TB ANN shape — regressions must be visible
         "ann_ivf_topk",  # coarse-quantizer ANN scale path
         "phash_neardup",  # banded perceptual-hash image near-dup
+        "phash_components",  # image dedup clustering
+        "train_mix_sample",  # stratified deterministic sampling
         "video_frame_sample",  # multimodal video → sampled-frame features
         "audio_features",  # multimodal audio → integer clip features
         "robots_parse",

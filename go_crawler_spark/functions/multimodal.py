@@ -481,3 +481,52 @@ def phash_neardup_golden() -> list[tuple[int, int, int]]:
             if shares_band and hamming <= PHASH_MAX_HAMMING:
                 out.append((x["img_id"], y["img_id"], hamming))
     return sorted(out)
+
+
+# --- image near-dup clustering ----------------------------------------------
+
+def q_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level dedup clustering: phash near-dup pairs → connected
+    components (large-star/small-star contraction, shared with the text
+    path) → canonical image per cluster. Deduping the image side of a
+    100 TB crawl = filter is_canonical; the contraction never touches
+    pixels, only (img_id, img_id) long pairs."""
+    from go_crawler_spark.functions.similarity import cc_star_contraction
+
+    pairs = q_phash_neardup(spark, sf_dir).select(
+        F.col("img_a").alias("u"), F.col("img_b").alias("v")
+    )
+    star = cc_star_contraction(pairs)
+    return (
+        phash_corpus(spark, sf_dir)
+        .select("img_id")
+        .join(
+            star.select(F.col("u").alias("img_id"), F.col("v").alias("comp")),
+            "img_id",
+            "left",
+        )
+        .select(
+            "img_id",
+            F.coalesce(F.col("comp"), F.col("img_id")).alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("img_id"))
+    )
+
+
+def phash_components_golden() -> list[tuple[int, int, bool]]:
+    """Pure-Python union-find over the golden pair list — the rows the
+    DuckDB oracle pins (one per corpus image)."""
+    ids = sorted(r["img_id"] for r in _phash_rows(range(PHASH_N_DOCS)))
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in phash_neardup_golden():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(i, find(i), find(i) == i) for i in ids]

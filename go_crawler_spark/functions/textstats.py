@@ -144,3 +144,57 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("keeper_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     ).select("keeper_id", "n_copies")
+
+
+# --------------------------------------------------------------------------
+# Stratified training-mix sampling — deterministic per-language document
+# sampling for assembling a training mix (e.g. keep 90% of English, 25%
+# of French, 5% of everything else). The sample gate is a pure integer
+# function of doc_id (two Lehmer/MINSTD rounds mod 2^31−1, then mod
+# 1000) so the decision is (a) reproducible run-to-run with no RNG
+# state, (b) stable under repartitioning — the same doc always lands on
+# the same side at any cluster size, and (c) exactly replicable in the
+# DuckDB oracle. At 100 TB this is a narrow map over the scan: no
+# shuffle, no sort, filter pushes to each partition independently.
+# --------------------------------------------------------------------------
+
+SAMPLE_P31 = 2147483647  # 2^31 − 1 (Mersenne prime, MINSTD modulus)
+SAMPLE_MINSTD = 48271
+TRAIN_MIX_PERMILLE = {
+    "en": 900,
+    "de": 500,
+    "fr": 250,
+    "es": 250,
+    "other": 50,
+}
+
+
+def sample_bucket(doc_id: Column) -> Column:
+    """Deterministic per-doc bucket in [0, 1000): two MINSTD rounds mod
+    2^31−1 (multiplication stays ≤ 2^31·48271 ≈ 1e14, overflow-safe in
+    a long for any doc_id), then mod 1000."""
+    h = (doc_id % SAMPLE_P31) * SAMPLE_MINSTD % SAMPLE_P31
+    h = h * SAMPLE_MINSTD % SAMPLE_P31
+    return h % 1000
+
+
+def q_train_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents kept for the training mix: language-stratified
+    deterministic sampling at TRAIN_MIX_PERMILLE rates."""
+    docs = load(spark, sf_dir, "documents")
+    lang = lang_id(F.col("text"))
+    rate = F.coalesce(
+        *[
+            F.when(lang == k, F.lit(v))
+            for k, v in TRAIN_MIX_PERMILLE.items()
+        ]
+    )
+    return (
+        docs.select(
+            "doc_id",
+            lang.alias("lang_pred"),
+            sample_bucket(F.col("doc_id")).alias("bucket"),
+            rate.alias("rate_permille"),
+        )
+        .filter(F.col("bucket") < F.col("rate_permille"))
+    )

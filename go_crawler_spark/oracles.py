@@ -1140,3 +1140,65 @@ SELECT user_id, event_type,
 FROM events
 GROUP BY user_id, event_type
 """
+
+
+# --- training-mix stratified sample -----------------------------------------
+
+from go_crawler_spark.functions.textstats import (  # noqa: E402
+    SAMPLE_MINSTD,
+    SAMPLE_P31,
+    TRAIN_MIX_PERMILLE,
+)
+
+_RATE_CASE = "CASE lang_pred " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in TRAIN_MIX_PERMILLE.items() if k != "other"
+) + f" ELSE {TRAIN_MIX_PERMILLE['other']} END"
+
+TRAIN_MIX_SAMPLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_EN}, x))) AS en,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_DE}, x))) AS de,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_FR}, x))) AS fr,
+         len(list_filter({_TOK_LOWER}, x -> list_contains({_ES}, x))) AS es
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         CASE WHEN greatest(en, de, fr, es) = 0 THEN 'other'
+              WHEN en = greatest(en, de, fr, es) THEN 'en'
+              WHEN de = greatest(en, de, fr, es) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+              ELSE 'es' END AS lang_pred
+  FROM c),
+s AS (
+  SELECT doc_id, lang_pred,
+         ((((doc_id % {SAMPLE_P31}) * {SAMPLE_MINSTD}) % {SAMPLE_P31})
+          * {SAMPLE_MINSTD}) % {SAMPLE_P31} % 1000 AS bucket,
+         CAST({_RATE_CASE} AS INTEGER) AS rate_permille
+  FROM l)
+SELECT doc_id, lang_pred, CAST(bucket AS BIGINT) AS bucket, rate_permille
+FROM s WHERE bucket < rate_permille
+"""
+
+
+# --- phash near-dup components ----------------------------------------------
+
+def _phash_components_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import phash_components_golden
+
+    return ",\n    ".join(
+        f"({i}, {c}, {'TRUE' if k else 'FALSE'})"
+        for i, c, k in phash_components_golden()
+    )
+
+
+PHASH_COMPONENTS = f"""
+WITH golden(img_id, component, is_canonical) AS (
+  VALUES
+    {_phash_components_golden_values()})
+SELECT CAST(g.img_id AS BIGINT) AS img_id,
+       CAST(g.component AS BIGINT) AS component,
+       g.is_canonical AS is_canonical
+FROM golden g
+JOIN documents d ON d.doc_id = g.img_id % 100000
+"""

@@ -116,6 +116,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "job_posting_csv": (_job_posting_csv, oracles.JOB_POSTING_CSV),
     # text analysis (training-data ops)
     "exact_dedup": (textstats.q_exact_dedup, oracles.EXACT_DEDUP),
+    "train_mix_sample": (textstats.q_train_mix_sample, oracles.TRAIN_MIX_SAMPLE),
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),
@@ -159,6 +160,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles.IMAGE_META_EXTRACT,
     ),
     "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
+    "phash_components": (
+        multimodal.q_phash_components,
+        oracles.PHASH_COMPONENTS,
+    ),
     "video_frame_sample": (
         multimodal.q_video_frame_sample,
         oracles.VIDEO_FRAME_SAMPLE,

@@ -415,3 +415,49 @@ def test_neardup_components_vs_unionfind(spark, sf_small):
         assert r.is_canonical == (r.component == r.doc_id)
     # the corpus plants real dups: at least one non-trivial component
     assert any(not r.is_canonical for r in rows)
+
+
+def test_phash_components_variants_clustered(spark, sf_small):
+    """Planted phash variants (doc%10==7 has a perturbed copy at
+    +100000) must land in their base image's component with the base as
+    canonical; unrelated images stay singletons."""
+    from go_crawler_spark.functions.multimodal import (
+        PHASH_N_DOCS,
+        PHASH_VARIANT_OFFSET,
+        q_phash_components,
+    )
+
+    comp = {r.img_id: r for r in q_phash_components(spark, sf_small).collect()}
+    planted = [d for d in range(PHASH_N_DOCS) if d % 10 == 7]
+    for d in planted:
+        v = d + PHASH_VARIANT_OFFSET
+        assert comp[v].component == comp[d].component
+        assert comp[d].is_canonical and not comp[v].is_canonical
+    # unrelated high-entropy images: overwhelming majority canonical
+    n_canon = sum(1 for r in comp.values() if r.is_canonical)
+    assert n_canon >= len(comp) - 2 * len(planted)
+
+
+def test_train_mix_sample_deterministic_and_gated(spark, sf_small):
+    """The sample gate must be a pure function of doc_id: identical row
+    set across runs and under different partitioning, and every kept row
+    respects its stratum's rate."""
+    from go_crawler_spark.functions.textstats import (
+        TRAIN_MIX_PERMILLE,
+        q_train_mix_sample,
+    )
+
+    rows = q_train_mix_sample(spark, sf_small).collect()
+    again = {
+        (r.doc_id, r.lang_pred, r.bucket, r.rate_permille)
+        for r in q_train_mix_sample(spark, sf_small)
+        .repartition(13)
+        .collect()
+    }
+    assert {(r.doc_id, r.lang_pred, r.bucket, r.rate_permille)
+            for r in rows} == again
+    for r in rows:
+        assert r.rate_permille == TRAIN_MIX_PERMILLE[
+            r.lang_pred if r.lang_pred in TRAIN_MIX_PERMILLE else "other"
+        ]
+        assert 0 <= r.bucket < r.rate_permille

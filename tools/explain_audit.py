@@ -102,6 +102,16 @@ AUDITED = {
         ["Scan parquet"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    "phash_components": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # stratified sample: pure narrow map over the scan — the integer
+    # hash gate and rate lookup must not introduce any shuffle
+    "train_mix_sample": (
+        ["Filter", "Scan parquet"],
+        ["Exchange", "CartesianProduct"],
+    ),
 }
 
 
