@@ -119,6 +119,8 @@ def main() -> None:
         "phash_neardup",  # banded perceptual-hash image near-dup
         "phash_components",  # image dedup clustering
         "train_mix_sample",  # stratified deterministic sampling
+        "pii_scrub",  # regex PII redaction (pure narrow map)
+        "boilerplate_strip",  # line-frequency boilerplate removal
         "video_frame_sample",  # multimodal video → sampled-frame features
         "audio_features",  # multimodal audio → integer clip features
         "robots_parse",

@@ -1,0 +1,142 @@
+"""Corpus-cleaning operators for training-data pipelines: PII
+scrubbing and boilerplate-line removal (the C4/CCNet-style steps that
+run between crawl and tokenization).
+
+Both operators synthesize their dirty input deterministically from row
+data (the synthetic corpus contains no PII or newlines), exactly like
+the image/video/audio operators synthesize payloads — the render rule
+is replicated verbatim in the DuckDB oracle, so the scrub itself is
+hash-gated end-to-end.
+
+Scale notes:
+- PII scrub is a pure narrow map (regexp_count/regexp_replace are
+  JVM-side codegen) — no shuffle, filter-free, scales linearly.
+- Boilerplate removal is the two-pass frequency scheme: pass 1 counts
+  per-line document frequency (one shuffle keyed by line), pass 2
+  drops lines above the threshold and reassembles. At 100 TB the
+  frequency key would be xxhash64(line) (8-byte shuffle rows, exact
+  string equality re-checked on the survivors); here the key is the
+  line itself so the oracle stays engine-agnostic. The threshold
+  compare is integer rational (cnt·DEN ≥ docs·NUM), no float boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_crawler_spark.tables import load
+
+# regexes are shared Java-regex / RE2 subset: no lookaround, no
+# backrefs; character classes and {m,n} quantifiers only
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE_RE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def render_pii_text(doc_id, text):
+    """Deterministic dirty text: the doc plus a contact tail carrying
+    one email, one IPv4, one phone — all pure functions of doc_id.
+    Mirrored verbatim in oracles.PII_SCRUB."""
+    return F.concat(
+        text,
+        F.lit(" Contact user"),
+        doc_id.cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit("."),
+        ((doc_id * 3) % 256).cast("string"),
+        F.lit(" tel +81 90-"),
+        F.lpad(((doc_id * 7) % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((doc_id * 13) % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails → IPs → phones (in that order, counts taken on the
+    string as it stood before each pass) and return the clean text plus
+    per-kind counts. Pure narrow map, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    raw = render_pii_text(F.col("doc_id"), F.col("text"))
+    s1 = F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>")
+    s2 = F.regexp_replace(s1, PII_IP_RE, "<IP>")
+    s3 = F.regexp_replace(s2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(s1, F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(s2, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        s3.alias("clean_text"),
+    )
+
+
+# boilerplate: strip a line when it appears in ≥ NUM/DEN of all docs
+BOILER_NUM = 1
+BOILER_DEN = 10
+
+
+def render_boiler_text(doc_id, text):
+    """Deterministic multi-line page: a universal nav header (100% doc
+    frequency → always stripped), the doc body (unique → kept), a
+    footer shared by doc_id % 5 (20% → stripped at the 10% threshold),
+    and a per-doc tag line (unique → kept)."""
+    return F.concat(
+        F.lit("NAV home about contact\n"),
+        text,
+        F.lit("\nfooter site-"),
+        (doc_id % 5).cast("string"),
+        F.lit(" legal notice\ntag doc-"),
+        doc_id.cast("string"),
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal: drop every line whose
+    document frequency is ≥ BOILER_NUM/BOILER_DEN of the corpus, keep
+    the rest in original order."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", render_boiler_text(F.col("doc_id"), F.col("text")).alias("page")
+    )
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("page"), "\n")).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )  # 1-row side: broadcast, not collected — keeps the op lazy/composable
+    kept = (
+        lines.join(freq, "line")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "strip", F.col("df") * BOILER_DEN >= F.col("n_docs") * BOILER_NUM
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("strip"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(~F.col("strip"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            F.sum(F.when(F.col("strip"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_stripped"),
+        )
+    )

@@ -1202,3 +1202,68 @@ SELECT CAST(g.img_id AS BIGINT) AS img_id,
 FROM golden g
 JOIN documents d ON d.doc_id = g.img_id % 100000
 """
+
+
+# --- corpus cleaning ---------------------------------------------------------
+
+from go_crawler_spark.functions.cleaning import (  # noqa: E402
+    BOILER_DEN,
+    BOILER_NUM,
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    PII_PHONE_RE,
+)
+
+PII_SCRUB = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+           || '@mail.example.com from 10.0.'
+           || CAST(doc_id % 256 AS VARCHAR) || '.'
+           || CAST((doc_id * 3) % 256 AS VARCHAR)
+           || ' tel +81 90-'
+           || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || '-'
+           || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') AS raw
+  FROM documents),
+p1 AS (
+  SELECT doc_id, raw,
+         regexp_replace(raw, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS s1
+  FROM raw),
+p2 AS (
+  SELECT doc_id, raw, s1,
+         regexp_replace(s1, '{PII_IP_RE}', '<IP>', 'g') AS s2
+  FROM p1)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s1, '{PII_IP_RE}')) AS BIGINT)    AS n_ips,
+       CAST(len(regexp_extract_all(s2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       regexp_replace(s2, '{PII_PHONE_RE}', '<PHONE>', 'g')          AS clean_text
+FROM p2
+"""
+
+BOILERPLATE_STRIP = f"""
+WITH pages AS (
+  SELECT doc_id,
+         'NAV home about contact' || chr(10) || text || chr(10)
+           || 'footer site-' || CAST(doc_id % 5 AS VARCHAR)
+           || ' legal notice' || chr(10)
+           || 'tag doc-' || CAST(doc_id AS VARCHAR) AS page
+  FROM documents),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, parts[i] AS line
+  FROM (SELECT doc_id, string_split(page, chr(10)) AS parts FROM pages),
+       unnest(generate_series(1, len(parts))) AS g(i)),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (f.df * {BOILER_DEN} >= t.n_docs * {BOILER_NUM}) AS strip
+  FROM lines l JOIN freq f USING (line), tot t)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT strip THEN line END,
+                           chr(10) ORDER BY pos), '') AS clean_text,
+       CAST(sum(CASE WHEN NOT strip THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT)     AS n_lines_stripped
+FROM kept GROUP BY doc_id
+"""

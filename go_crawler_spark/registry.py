@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from go_crawler_spark import oracles
 from go_crawler_spark.functions import (
+    cleaning,
     extraction,
     multimodal,
     parsing,
@@ -117,6 +118,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # text analysis (training-data ops)
     "exact_dedup": (textstats.q_exact_dedup, oracles.EXACT_DEDUP),
     "train_mix_sample": (textstats.q_train_mix_sample, oracles.TRAIN_MIX_SAMPLE),
+    "pii_scrub": (cleaning.q_pii_scrub, oracles.PII_SCRUB),
+    "boilerplate_strip": (
+        cleaning.q_boilerplate_strip,
+        oracles.BOILERPLATE_STRIP,
+    ),
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),

@@ -461,3 +461,35 @@ def test_train_mix_sample_deterministic_and_gated(spark, sf_small):
             r.lang_pred if r.lang_pred in TRAIN_MIX_PERMILLE else "other"
         ]
         assert 0 <= r.bucket < r.rate_permille
+
+
+def test_pii_scrub_redacts_everything(spark, sf_small):
+    """Every rendered doc carries exactly one email, IP, and phone; the
+    clean text must contain the placeholders and no residual PII."""
+    from go_crawler_spark.functions.cleaning import q_pii_scrub
+
+    rows = q_pii_scrub(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+        assert "<EMAIL>" in r.clean_text
+        assert "<IP>" in r.clean_text
+        assert "<PHONE>" in r.clean_text
+        assert "@" not in r.clean_text
+        assert "example.com" not in r.clean_text
+
+
+def test_boilerplate_strip_threshold(spark, sf_small):
+    """The universal nav header (100% doc frequency) and the 20%-shared
+    footer must be stripped at the 10% threshold; the unique body and
+    per-doc tag line must survive, in order."""
+    from go_crawler_spark.functions.cleaning import q_boilerplate_strip
+
+    rows = q_boilerplate_strip(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r.n_lines_stripped == 2 and r.n_lines_kept == 2
+        lines = r.clean_text.split("\n")
+        assert len(lines) == 2
+        assert lines[1] == f"tag doc-{r.doc_id}"
+        assert "NAV" not in r.clean_text and "footer" not in r.clean_text

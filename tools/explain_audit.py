@@ -112,6 +112,17 @@ AUDITED = {
         ["Filter", "Scan parquet"],
         ["Exchange", "CartesianProduct"],
     ),
+    # PII scrub: regex redaction is a narrow codegen map, no shuffle
+    "pii_scrub": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "CartesianProduct"],
+    ),
+    # boilerplate: two-pass line-frequency scheme — the df agg and the
+    # line join are hash-keyed; the 1-row corpus count is broadcast
+    "boilerplate_strip": (
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
