@@ -121,6 +121,7 @@ def main() -> None:
         "train_mix_sample",  # stratified deterministic sampling
         "pii_scrub",  # regex PII redaction (pure narrow map)
         "boilerplate_strip",  # line-frequency boilerplate removal
+        "corpus_keep",  # composed end-to-end corpus-assembly decision
         "video_frame_sample",  # multimodal video → sampled-frame features
         "audio_features",  # multimodal audio → integer clip features
         "robots_parse",

@@ -140,3 +140,58 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_lines_stripped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus assembly — the composed "build the training corpus"
+# decision per document, chaining every gate this package provides:
+#   keep = exact-dedup keeper (min doc_id per identical text)
+#        ∧ near-dup canonical (star-contraction component root)
+#        ∧ language-stratified sample gate (MINSTD integer hash)
+#        ∧ quality ≥ QUALITY_MIN (integer 0-100 composite)
+# At 100 TB this is the final pass of the pipeline: the window and the
+# components join are the only shuffles (quality/lang/sample are narrow
+# maps fused into the same stage), and every gate is integer/boolean —
+# no float boundary anywhere. The DuckDB oracle composes the SAME
+# sub-oracles as nested CTEs, so the composition itself is hash-gated.
+# --------------------------------------------------------------------------
+
+QUALITY_MIN = 35  # integer 0-100 scale; exact compare, no boundary hazard
+
+
+def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep decision for the training corpus, with each
+    gate exposed as its own boolean column."""
+    from pyspark.sql import Window
+
+    from go_crawler_spark.functions.similarity import q_neardup_components
+    from go_crawler_spark.functions.textstats import (
+        TRAIN_MIX_PERMILLE,
+        lang_id,
+        quality_score,
+        sample_bucket,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    lang = lang_id(F.col("text"))
+    rate = F.coalesce(
+        *[F.when(lang == k, F.lit(v)) for k, v in TRAIN_MIX_PERMILLE.items()]
+    )
+    base = docs.select(
+        "doc_id",
+        lang.alias("lang_pred"),
+        quality_score(F.col("text")).alias("quality"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_keeper"),
+        (sample_bucket(F.col("doc_id")) < rate).alias("sampled"),
+    )
+    comp = q_neardup_components(spark, sf_dir).select(
+        "doc_id", F.col("is_canonical").alias("is_neardup_canonical")
+    )
+    return base.join(comp, "doc_id").withColumn(
+        "keep",
+        F.col("is_exact_keeper")
+        & F.col("is_neardup_canonical")
+        & F.col("sampled")
+        & (F.col("quality") >= QUALITY_MIN),
+    )

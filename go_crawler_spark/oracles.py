@@ -349,8 +349,10 @@ WITH {_MINHASH_CAND_CTES}
 SELECT doc_a, doc_b FROM cand
 """
 
-NEARDUP_COMPONENTS = f"""
-WITH RECURSIVE {_MINHASH_CAND_CTES},
+# full candidate→edge→component chain (reused by NEARDUP_COMPONENTS and
+# CORPUS_KEEP so the composed corpus gate can never drift from the
+# standalone clustering oracle)
+_NEARDUP_COMP_CTES = f"""{_MINHASH_CAND_CTES},
 stoks AS (
   SELECT doc_id, {_TOK} AS ts FROM documents),
 shc AS (
@@ -378,7 +380,10 @@ reach AS (
   UNION
   SELECT s.v AS node, reach.r FROM reach JOIN sym s ON s.u = reach.node),
 comp AS (
-  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)
+  SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)"""
+
+NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE {_NEARDUP_COMP_CTES}
 SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS component,
        COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
@@ -1212,6 +1217,7 @@ from go_crawler_spark.functions.cleaning import (  # noqa: E402
     PII_EMAIL_RE,
     PII_IP_RE,
     PII_PHONE_RE,
+    QUALITY_MIN,
 )
 
 PII_SCRUB = f"""
@@ -1266,4 +1272,34 @@ SELECT doc_id,
        CAST(sum(CASE WHEN NOT strip THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
        CAST(sum(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT)     AS n_lines_stripped
 FROM kept GROUP BY doc_id
+"""
+
+# --- composed corpus-keep decision -------------------------------------------
+# Reuses the LANG_ID / QUALITY_SCORE oracles verbatim as nested CTEs and
+# the shared _NEARDUP_COMP_CTES chain, so the composed gate is checked
+# against exactly the sub-oracles the standalone queries are checked
+# against — the composition itself is the only new logic under test.
+
+CORPUS_KEEP = f"""
+WITH RECURSIVE {_NEARDUP_COMP_CTES},
+lng AS ({LANG_ID}),
+qual AS ({QUALITY_SCORE}),
+base AS (
+  SELECT d.doc_id,
+         lng.lang_pred,
+         qual.quality,
+         d.doc_id = MIN(d.doc_id) OVER (PARTITION BY d.text) AS is_exact_keeper,
+         ((((d.doc_id % {SAMPLE_P31}) * {SAMPLE_MINSTD}) % {SAMPLE_P31})
+          * {SAMPLE_MINSTD}) % {SAMPLE_P31} % 1000
+           < ({_RATE_CASE}) AS sampled
+  FROM documents d
+  JOIN lng ON lng.doc_id = d.doc_id
+  JOIN qual ON qual.doc_id = d.doc_id)
+SELECT b.doc_id, b.lang_pred, b.quality, b.is_exact_keeper, b.sampled,
+       COALESCE(c.component, b.doc_id) = b.doc_id AS is_neardup_canonical,
+       (b.is_exact_keeper
+        AND COALESCE(c.component, b.doc_id) = b.doc_id
+        AND b.sampled
+        AND b.quality >= {QUALITY_MIN}) AS keep
+FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id
 """

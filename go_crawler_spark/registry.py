@@ -123,6 +123,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cleaning.q_boilerplate_strip,
         oracles.BOILERPLATE_STRIP,
     ),
+    # composed end-to-end corpus-keep decision (exact dedup ∧ near-dup
+    # canonical ∧ stratified sample ∧ quality gate) — oracle composes
+    # the same sub-oracle CTEs, so the composition itself is hash-gated
+    "corpus_keep": (cleaning.q_corpus_keep, oracles.CORPUS_KEEP),
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),

@@ -493,3 +493,42 @@ def test_boilerplate_strip_threshold(spark, sf_small):
         assert len(lines) == 2
         assert lines[1] == f"tag doc-{r.doc_id}"
         assert "NAV" not in r.clean_text and "footer" not in r.clean_text
+
+
+def test_corpus_keep_composition(spark, sf_small):
+    """The composed keep decision must equal the conjunction of the four
+    standalone gates, each recomputed via its own registry query — so a
+    drift in any sub-operator breaks this test even before the oracle."""
+    from go_crawler_spark.functions.cleaning import QUALITY_MIN, q_corpus_keep
+    from go_crawler_spark.functions.similarity import q_neardup_components
+    from go_crawler_spark.functions.textstats import (
+        q_exact_dedup,
+        q_quality_score,
+        q_train_mix_sample,
+    )
+
+    rows = {r.doc_id: r for r in q_corpus_keep(spark, sf_small).collect()}
+    keepers = {r.keeper_id for r in q_exact_dedup(spark, sf_small).collect()}
+    canon = {
+        r.doc_id
+        for r in q_neardup_components(spark, sf_small).collect()
+        if r.is_canonical
+    }
+    sampled = {r.doc_id for r in q_train_mix_sample(spark, sf_small).collect()}
+    quality = {
+        r.doc_id: r.quality for r in q_quality_score(spark, sf_small).collect()
+    }
+    assert set(rows) == set(quality)  # exactly one decision per document
+    for d, r in rows.items():
+        assert r.is_exact_keeper == (d in keepers)
+        assert r.is_neardup_canonical == (d in canon)
+        assert r.sampled == (d in sampled)
+        assert r.quality == quality[d]
+        assert r.keep == (
+            r.is_exact_keeper
+            and r.is_neardup_canonical
+            and r.sampled
+            and r.quality >= QUALITY_MIN
+        )
+    kept = sum(1 for r in rows.values() if r.keep)
+    assert 0 < kept < len(rows)  # the gate actually discriminates

@@ -123,6 +123,13 @@ AUDITED = {
         ["HashAggregate", "BroadcastNestedLoopJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # composed corpus gate: the exact-dedup window (shuffle on text) and
+    # the components join are the only wide ops; lang/quality/sample fuse
+    # into the same narrow stage, and nothing may nested-loop
+    "corpus_keep": (
+        ["Window", "Scan parquet"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
