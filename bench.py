@@ -122,6 +122,8 @@ def main() -> None:
         "pii_scrub",  # regex PII redaction (pure narrow map)
         "boilerplate_strip",  # line-frequency boilerplate removal
         "corpus_keep",  # composed end-to-end corpus-assembly decision
+        "decontaminate",  # eval-set n-gram overlap (broadcast probe)
+        "gopher_quality_flags",  # integer Gopher rule set (narrow map)
         "video_frame_sample",  # multimodal video → sampled-frame features
         "audio_features",  # multimodal audio → integer clip features
         "robots_parse",

@@ -195,3 +195,61 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("sampled")
         & (F.col("quality") >= QUALITY_MIN),
     )
+
+
+# --------------------------------------------------------------------------
+# Eval-set decontamination — flag training documents sharing word
+# n-grams with a held-out eval set (the standard pre-training hygiene
+# pass: GPT-3 App. C / PaLM-style 13-gram overlap, scaled to 3-grams
+# for the short synthetic docs). The eval set here is the deterministic
+# doc_id % DECON_EVAL_MOD == 0 slice of the corpus.
+#
+# Scale shape: the eval side (benchmarks, ~10^6-10^7 distinct n-gram
+# hashes even for large suites) is DISTINCT-reduced and broadcast; the
+# corpus side explodes its shingles and probes the broadcast map-side,
+# then one shuffle on doc_id re-aggregates hit counts. The 100 TB text
+# column never shuffles — only (doc_id, hash) pairs do.
+# --------------------------------------------------------------------------
+
+DECON_EVAL_MOD = 20  # every 20th doc is "eval" → 5% held out
+# contaminated ⇔ overlap·DEN ≥ shingles·NUM (half the doc's distinct
+# shingles appear in the eval set) — integer rational, no float boundary
+DECON_NUM = 1
+DECON_DEN = 2
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per non-eval document: distinct 3-gram shingle count, how many of
+    those shingles appear anywhere in the eval slice, and the
+    contamination verdict."""
+    from go_crawler_spark.functions.similarity import shingle_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        shingle_hashes(F.col("text")).alias("hs"),
+    ).select(
+        "doc_id", "hs", F.size("hs").cast("long").alias("n_shingles")
+    )
+    eval_hashes = (
+        sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    exploded = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        "doc_id", "n_shingles", F.explode_outer("hs").alias("h")
+    )
+    return (
+        exploded.join(F.broadcast(eval_hashes), "h", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_overlap"))
+        .withColumn(
+            "contaminated",
+            (F.col("n_shingles") > 0)
+            & (
+                F.col("n_overlap") * DECON_DEN
+                >= F.col("n_shingles") * DECON_NUM
+            ),
+        )
+    )

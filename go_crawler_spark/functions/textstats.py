@@ -111,14 +111,96 @@ def lang_id(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# GPT-2-style pretokenizer regex, restricted to the Java-regex ∩ RE2
+# subset (no lookaround): contraction suffixes, space-prefixed letter
+# runs, digit runs, symbol runs. Both engines use leftmost-first
+# alternation, so the token boundaries are identical; unmatched
+# whitespace is simply skipped by regexp_extract_all in both.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Subword-ish token count via the BPE pretokenizer regex — the
+    cost estimate a training pipeline actually budgets with (whitespace
+    counts undercount CJK/punctuation-heavy text). Pure JVM regex, no
+    Python."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-pretokenizer token counts side by side.
+    Narrow map over the scan — no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# --------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021 §A1.1, re-scaled
+# to the synthetic corpus's short documents). Every rule is an integer
+# rational compare — a·DEN ≤ b·NUM over exact longs — so the flags are
+# engine-agnostic with no float boundary anywhere. Pure narrow map.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 5
+GOPHER_SYMBOL_RE = r"#|\.\.\."  # hash or ellipsis, the Gopher symbol set
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags plus the conjunction verdict:
+    word-count floor, mean-word-length band [3,10], symbol-to-word
+    ratio ≤ 10%, ≥2 distinct stopwords, duplicate-token fraction ≤ 30%,
+    ≥80% of tokens alphabetic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(GOPHER_SYMBOL_RE), 0)
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    low = F.lower(F.col("text"))
+    n_stop_distinct = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in STOPWORDS_EN]),
+            lambda s: F.array_contains(tokens_col(low), s),
+        )
+    ).cast("long")
+    flags = {
+        "words_ok": n >= GOPHER_MIN_WORDS,
+        "word_len_ok": (sum_len >= 3 * n) & (sum_len <= 10 * n),
+        "symbol_ok": n_sym * 10 <= n,
+        "stopword_ok": n_stop_distinct >= 2,
+        "repetition_ok": (n - n_distinct) * 10 <= n * 3,
+        "alpha_ok": n_alpha * 10 >= n * 8,
+    }
+    out = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+    )
+    keep = F.lit(True)
+    for name in flags:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1303,3 +1303,91 @@ SELECT b.doc_id, b.lang_pred, b.quality, b.is_exact_keeper, b.sampled,
         AND b.quality >= {QUALITY_MIN}) AS keep
 FROM base b LEFT JOIN comp c ON c.doc_id = b.doc_id
 """
+
+
+# --- tokenization / Gopher quality / decontamination -------------------------
+
+from go_crawler_spark.functions.textstats import (  # noqa: E402
+    BPE_TOKEN_RE,
+    GOPHER_MIN_WORDS,
+    GOPHER_SYMBOL_RE,
+)
+
+_BPE_RE_SQL = BPE_TOKEN_RE.replace("'", "''")
+
+TOKEN_COUNT_BPE = f"""
+SELECT doc_id,
+       CAST(len({_TOK}) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS BIGINT)
+         AS n_tokens_bpe
+FROM documents
+"""
+
+GOPHER_QUALITY_FLAGS = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOK}) AS BIGINT) AS n,
+         CAST(COALESCE(list_sum(list_transform({_TOK}, t -> length(t))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(len(regexp_extract_all(text, '{GOPHER_SYMBOL_RE}')) AS BIGINT)
+           AS n_sym,
+         CAST(len(list_distinct({_TOK})) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter({_TOK}, t -> regexp_matches(t, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_filter({_EN}, s -> list_contains({_TOK_LOWER}, s)))
+              AS BIGINT) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       n AS n_words,
+       n >= {GOPHER_MIN_WORDS} AS words_ok,
+       (sum_len >= 3 * n AND sum_len <= 10 * n) AS word_len_ok,
+       n_sym * 10 <= n AS symbol_ok,
+       n_stop >= 2 AS stopword_ok,
+       (n - n_distinct) * 10 <= n * 3 AS repetition_ok,
+       n_alpha * 10 >= n * 8 AS alpha_ok,
+       (n >= {GOPHER_MIN_WORDS}
+        AND sum_len >= 3 * n AND sum_len <= 10 * n
+        AND n_sym * 10 <= n
+        AND n_stop >= 2
+        AND (n - n_distinct) * 10 <= n * 3
+        AND n_alpha * 10 >= n * 8) AS gopher_keep
+FROM t
+"""
+
+from go_crawler_spark.functions.cleaning import (  # noqa: E402
+    DECON_DEN,
+    DECON_EVAL_MOD,
+    DECON_NUM,
+)
+
+DECONTAMINATE = f"""
+WITH toks3 AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(ts) - 2 > 0
+                THEN list_transform(generate_series(1, len(ts) - 2),
+                                    i -> array_to_string(ts[i:i+2], ' '))
+                ELSE [] END,
+           s -> {_poly_hash_sql('s')})) AS hs
+  FROM toks3),
+ev AS (
+  SELECT DISTINCT h
+  FROM (SELECT unnest(hs) AS h FROM sh3 WHERE doc_id % {DECON_EVAL_MOD} = 0)),
+base AS (
+  SELECT doc_id, hs, len(hs) AS n_shingles
+  FROM sh3 WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+expl AS (
+  SELECT doc_id, unnest(hs) AS h FROM base),
+hits AS (
+  SELECT e.doc_id, count(*) AS n
+  FROM expl e JOIN ev ON ev.h = e.h GROUP BY e.doc_id)
+SELECT b.doc_id,
+       CAST(b.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+       (b.n_shingles > 0
+        AND COALESCE(h.n, 0) * {DECON_DEN} >= b.n_shingles * {DECON_NUM})
+         AS contaminated
+FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""

@@ -128,6 +128,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # the same sub-oracle CTEs, so the composition itself is hash-gated
     "corpus_keep": (cleaning.q_corpus_keep, oracles.CORPUS_KEEP),
     "token_count": (textstats.q_token_count, oracles.TOKEN_COUNT),
+    "token_count_bpe": (textstats.q_token_count_bpe, oracles.TOKEN_COUNT_BPE),
+    "gopher_quality_flags": (
+        textstats.q_gopher_quality_flags,
+        oracles.GOPHER_QUALITY_FLAGS,
+    ),
+    # eval-set n-gram decontamination (broadcast eval shingle probe)
+    "decontaminate": (cleaning.q_decontaminate, oracles.DECONTAMINATE),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),
     "fingerprint": (textstats.q_fingerprint, oracles.FINGERPRINT),

@@ -532,3 +532,95 @@ def test_corpus_keep_composition(spark, sf_small):
         )
     kept = sum(1 for r in rows.values() if r.keep)
     assert 0 < kept < len(rows)  # the gate actually discriminates
+
+
+def test_token_count_bpe_matches_python_re(spark, sf_small):
+    """The JVM regexp_extract_all count must agree with Python's re
+    module on every document (the pattern stays in the Java∩RE2∩Python
+    common subset, so all three engines tokenize identically)."""
+    import re
+
+    from go_crawler_spark.functions.textstats import (
+        BPE_TOKEN_RE,
+        q_token_count_bpe,
+    )
+    from go_crawler_spark.tables import load
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    pat = re.compile(BPE_TOKEN_RE)
+    for r in q_token_count_bpe(spark, sf_small).collect():
+        assert r.n_tokens_bpe == len(pat.findall(texts[r.doc_id]))
+        assert r.n_tokens_ws == len(texts[r.doc_id].split())
+        # BPE pretokens are at least as fine-grained as whitespace words
+        assert r.n_tokens_bpe >= r.n_tokens_ws
+
+
+def test_gopher_flags_recompute(spark, sf_small):
+    """Every flag recomputed in plain Python per document."""
+    import re
+
+    from go_crawler_spark.functions.textstats import (
+        GOPHER_MIN_WORDS,
+        GOPHER_SYMBOL_RE,
+        STOPWORDS_EN,
+        q_gopher_quality_flags,
+    )
+    from go_crawler_spark.tables import load
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    rows = q_gopher_quality_flags(spark, sf_small).collect()
+    assert len(rows) == len(texts)
+    sym = re.compile(GOPHER_SYMBOL_RE)
+    seen_keep = set()
+    for r in rows:
+        toks = texts[r.doc_id].split()
+        n = len(toks)
+        sum_len = sum(len(t) for t in toks)
+        low = [t.lower() for t in toks]
+        exp = {
+            "words_ok": n >= GOPHER_MIN_WORDS,
+            "word_len_ok": 3 * n <= sum_len <= 10 * n,
+            "symbol_ok": len(sym.findall(texts[r.doc_id])) * 10 <= n,
+            "stopword_ok": sum(1 for s in STOPWORDS_EN if s in low) >= 2,
+            "repetition_ok": (n - len(set(toks))) * 10 <= n * 3,
+            "alpha_ok": sum(1 for t in toks if re.search("[A-Za-z]", t)) * 10
+            >= n * 8,
+        }
+        assert r.n_words == n
+        for name, want in exp.items():
+            assert getattr(r, name) == want, (r.doc_id, name)
+        assert r.gopher_keep == all(exp.values())
+        seen_keep.add(r.gopher_keep)
+    assert seen_keep == {True, False}  # the rules actually discriminate
+
+
+def test_decontaminate_planted(spark, sf_small):
+    """Non-eval documents whose text is an exact copy of an eval
+    document must be flagged with 100% shingle overlap; eval docs never
+    appear in the output; overlap is bounded by the shingle count."""
+    from go_crawler_spark.functions.cleaning import (
+        DECON_EVAL_MOD,
+        q_decontaminate,
+    )
+    from go_crawler_spark.tables import load
+
+    texts = {
+        r.doc_id: r.text
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    eval_texts = {
+        t for d, t in texts.items() if d % DECON_EVAL_MOD == 0
+    }
+    rows = {r.doc_id: r for r in q_decontaminate(spark, sf_small).collect()}
+    assert rows and all(d % DECON_EVAL_MOD != 0 for d in rows)
+    assert len(rows) == sum(1 for d in texts if d % DECON_EVAL_MOD != 0)
+    for d, r in rows.items():
+        assert 0 <= r.n_overlap <= r.n_shingles
+        if texts[d] in eval_texts and r.n_shingles > 0:
+            assert r.n_overlap == r.n_shingles and r.contaminated

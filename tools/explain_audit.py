@@ -130,6 +130,21 @@ AUDITED = {
         ["Window", "Scan parquet"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # tokenizer count + Gopher rules: pure narrow codegen maps, no shuffle
+    "token_count_bpe": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "CartesianProduct"],
+    ),
+    "gopher_quality_flags": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "CartesianProduct"],
+    ),
+    # decontamination: eval shingle set broadcast, corpus side probes
+    # map-side; the only shuffle is the per-doc hit-count re-aggregation
+    "decontaminate": (
+        ["BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
