@@ -1,0 +1,99 @@
+"""Full-text relevance search over the ``documents`` table: BM25
+top-k for a fixed conjunctive keyword query.
+
+The inverted-index shape a 100 TB corpus needs is exactly what the
+DataFrame plan already is: per-document term frequencies are a narrow
+map over the token array (no shuffle), corpus statistics (N, Σdl, per-
+term document frequencies) are ONE map-side-combined aggregate that
+reduces to a single broadcast row, and scoring + top-k is another
+narrow map followed by a rank window. Nothing materializes per-(term,
+doc) postings — with a fixed query the postings list is the filter,
+not a table.
+
+Float parity with the DuckDB oracle: idf is rounded to 6 decimals
+immediately after the ln() (Java's Math.log and libm's log may differ
+in the last ulp; rounding first makes the downstream products exact),
+every arithmetic step is written in the identical order on both sides,
+and the 3-term score sum is an explicit left-to-right `+` chain, never
+an unordered SUM aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.textstats import tokens_col
+from go_crawler_spark.tables import load
+
+BM25_TERMS = ("spark", "join", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t == term)).cast("long")
+
+
+def _idf6(n_docs: Column, df: Column) -> Column:
+    """round(ln((N − df + 0.5) / (df + 0.5) + 1), 6) — the Robertson-
+    Sparck Jones idf, +1-smoothed so it is always positive."""
+    return F.round(
+        F.log(
+            (n_docs.cast("double") - df.cast("double") + F.lit(0.5))
+            / (df.cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+
+
+def _tf_part(tf: Column, dl: Column, n_docs: Column, sum_dl: Column) -> Column:
+    """tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), avgdl = Σdl / N."""
+    avgdl = sum_dl.cast("double") / n_docs.cast("double")
+    return (tf.cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        tf.cast("double")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dl.cast("double") / avgdl)
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BM25_TOPK documents for the fixed query BM25_TERMS; ties on
+    the rounded score break toward the smaller doc_id."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[_tf(toks, t).alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).cast("long").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    n, s = F.col("n_docs"), F.col("sum_dl")
+    score = None
+    for t in BM25_TERMS:
+        part = _idf6(n, F.col(f"df_{t}")) * _tf_part(F.col(f"tf_{t}"), F.col("dl"), n, s)
+        score = part if score is None else score + part
+    # orderBy().limit() compiles to TakeOrderedAndProject — a parallel
+    # per-partition top-k + driver merge of k·P rows, never a global
+    # sort. The rank window runs over the k survivors only.
+    top = (
+        scored.select(
+            "doc_id",
+            *[f"tf_{t}" for t in BM25_TERMS],
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

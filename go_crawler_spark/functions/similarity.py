@@ -768,3 +768,65 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the embedding space, then inside each cluster drop every
+# vector whose cosine to a LOWER-id cluster-mate clears the threshold.
+# Clustering here is the same deterministic pivot assignment as
+# q_ann_ivf_topk (so the DuckDB oracle can replay it bit-for-bit); at
+# 100 TB the pivots come from a k-means fit (see q_kmeans_assign) with
+# k ∝ corpus size, which bounds the per-cell pair count — the cosine
+# matrix is only ever materialized per-cell via a cell-keyed equi-join,
+# never all-pairs. The corpus is neardup_corpus (planted dups) so the
+# operator's positive path is exercised at every SF.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.9
+
+
+def ivf_assign(corpus: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest deterministic pivot by cosine, ties to the
+    smaller pivot id — the same winner as the oracle's ORDER BY c_cos
+    DESC, cid ASC. Pivot side is tiny (|corpus| / IVF_PIVOT_MOD) and
+    broadcast; the corpus streams map-side."""
+    cents = corpus.filter(
+        (F.col("vec_id") % IVF_PIVOT_MOD == IVF_PIVOT_REM)
+        & (F.col("vec_id") < NEARDUP_DUP_OFFSET)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("c_cos")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg_cid"))
+        ).alias("cell")
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector keep/drop verdict: dropped iff some lower-id vector in
+    the same cell has round(cosine, 6) ≥ SEMDEDUP_TAU; dup_of names the
+    smallest such culprit. Two shuffles total: the assignment groupBy
+    and the within-cell self-join keyed on the int cell id."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = neardup_corpus(emb)
+    assign = ivf_assign(corpus)
+    celled = corpus.join(assign, "vec_id")
+    lo = celled.select(
+        "cell", F.col("vec_id").alias("lo_id"), F.col("embedding").alias("lo_vec")
+    )
+    dup = (
+        celled.join(lo, "cell")
+        .filter(F.col("lo_id") < F.col("vec_id"))
+        .filter(
+            F.round(cosine(F.col("lo_vec"), F.col("embedding")), 6)
+            >= F.lit(SEMDEDUP_TAU)
+        )
+        .groupBy("vec_id")
+        .agg(F.min("lo_id").alias("dup_of"))
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
+    )

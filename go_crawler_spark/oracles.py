@@ -1391,3 +1391,107 @@ SELECT b.doc_id,
          AS contaminated
 FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
+
+# --- semantic dedup (SemDeDup shape) -----------------------------------------
+# Mirrors functions/similarity.py::q_semantic_dedup: the planted-dup
+# corpus CTE (same as EMBEDDING_NEARDUP), the deterministic IVF pivot
+# assignment (same as ANN_IVF_TOPK), then the within-cell lower-id
+# cosine gate. round(cos, 6) is computed on the identical double fold.
+
+from go_crawler_spark.functions.similarity import SEMDEDUP_TAU  # noqa: E402
+
+SEMANTIC_DEDUP = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings),
+dups AS (
+  SELECT orig + {NEARDUP_DUP_OFFSET} AS vec_id,
+         list_transform(generate_series(0, 63),
+           i -> CAST(emb[i + 1] AS DOUBLE)
+                + CAST((orig * 31 + i) % 7 - 3 AS DOUBLE) * 0.002) AS embedding
+  FROM (SELECT vec_id AS orig, embedding AS emb
+        FROM embeddings WHERE vec_id % 10 = 7)),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+e AS (
+  SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm FROM corpus),
+c AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+  FROM e
+  WHERE vec_id % {IVF_PIVOT_MOD} = {IVF_PIVOT_REM}
+    AND vec_id < {NEARDUP_DUP_OFFSET}),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_dot_sql('e.embedding', 'c.cvec')} / (e.nrm * c.cnrm) DESC,
+               c.cid ASC) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+dup AS (
+  SELECT ha.vec_id, min(la.vec_id) AS dup_of
+  FROM assign ha
+  JOIN assign la ON la.cell = ha.cell AND la.vec_id < ha.vec_id
+  JOIN e hi ON hi.vec_id = ha.vec_id
+  JOIN e lo ON lo.vec_id = la.vec_id
+  WHERE round({_dot_sql('lo.embedding', 'hi.embedding')} / (lo.nrm * hi.nrm), 6)
+          >= {SEMDEDUP_TAU}
+  GROUP BY ha.vec_id)
+SELECT a.vec_id, a.cell, d.dup_of, d.dup_of IS NULL AS keep
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+
+# --- BM25 top-k ---------------------------------------------------------------
+# Mirrors functions/search.py::q_bm25_topk. idf is rounded to 6 decimals
+# right after ln() (the one libm-vs-Math.log hazard), every other step
+# is exact double math in the identical order, and the 3-term sum is a
+# literal left-to-right + chain.
+
+from go_crawler_spark.functions.search import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    BM25_TOPK,
+)
+
+
+def _bm25_term_sql(t: str) -> str:
+    idf = (
+        f"round(ln((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0), 6)"
+    )
+    part = (
+        f"(CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+        f" + {BM25_B} * CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    )
+    return f"{idf} * {part}"
+
+
+BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS.format(col='text')} AS toks FROM documents),
+d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {', '.join(
+             f"CAST(len(list_filter(toks, t -> t = '{t}')) AS BIGINT) AS tf_{t}"
+             for t in BM25_TERMS)}
+  FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         {', '.join(
+             f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS df_{t}"
+             for t in BM25_TERMS)}
+  FROM d),
+scored AS (
+  SELECT doc_id, {', '.join(f'tf_{t}' for t in BM25_TERMS)},
+         round({' + '.join(_bm25_term_sql(t) for t in BM25_TERMS)}, 6) AS score
+  FROM d CROSS JOIN stats)
+SELECT doc_id, {', '.join(f'tf_{t}' for t in BM25_TERMS)}, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""

@@ -17,6 +17,7 @@ from go_crawler_spark.functions import (
     multimodal,
     parsing,
     relational,
+    search,
     similarity,
     textstats,
 )
@@ -170,6 +171,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
     "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
     "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
+    # SemDeDup-shaped semantic dedup: IVF cell assign → within-cell
+    # lower-id cosine gate (per-cell pairs only, never all-pairs)
+    "semantic_dedup": (similarity.q_semantic_dedup, oracles.SEMANTIC_DEDUP),
+    # BM25 keyword top-k (fixed conjunctive query, TakeOrdered top-k)
+    "bm25_topk": (search.q_bm25_topk, oracles.BM25_TOPK_SQL),
     # multimodal binary-column plumbing (golden VALUES oracle generated
     # by the same pure-Python codec — checks the Spark plumbing e2e)
     "image_meta_extract": (
