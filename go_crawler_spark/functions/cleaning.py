@@ -253,3 +253,52 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-document duplicated-passage detection (the n-gram-granularity
+# variant of exact substring dedup, Lee et al. 2022, arXiv:2107.06499):
+# a word 8-gram that appears in ≥2 documents is "duplicated text"; a
+# document whose duplicated-8-gram share clears NUM/DEN is flagged.
+# Two shuffles: the document-frequency groupBy on the shingle hash and
+# the per-doc rollup. At 100 TB the 8-byte hash IS the shuffle key
+# (shingle strings never leave the map side — same trick as the
+# boilerplate pass), and the df table is pre-aggregated to one row per
+# shingle before the join back, so hot shingles can't skew the probe.
+# --------------------------------------------------------------------------
+
+DUPNGRAM_N = 8
+DUPNGRAM_NUM = 3  # dup_heavy ⇔ n_dup·DEN ≥ n_shingles·NUM (30%)
+DUPNGRAM_DEN = 10
+
+
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: distinct 8-gram count, how many of those 8-grams
+    occur in at least one OTHER document, and the dup-heavy verdict."""
+    from go_crawler_spark.functions.similarity import shingle_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", shingle_hashes(F.col("text"), DUPNGRAM_N).alias("hs")
+    ).select("doc_id", "hs", F.size("hs").cast("long").alias("n_shingles"))
+    expl = sh.select("doc_id", "n_shingles", F.explode_outer("hs").alias("h"))
+    dup = (
+        expl.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h", F.lit(1).cast("long").alias("hit"))
+    )
+    return (
+        expl.join(dup, "h", "left")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_dup"))
+        .withColumn(
+            "dup_heavy",
+            (F.col("n_shingles") > 0)
+            & (
+                F.col("n_dup") * DUPNGRAM_DEN
+                >= F.col("n_shingles") * DUPNGRAM_NUM
+            ),
+        )
+    )

@@ -280,3 +280,53 @@ def q_train_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("bucket") < F.col("rate_permille"))
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-resampled source mixing (the multinomial data-mix step of
+# multilingual/multi-source training pipelines, cf. mC4/XLM-R: sample a
+# source proportionally to p^alpha, alpha<1 upweights the tail). All
+# comparisons and outputs are exact integer math: the unnormalized
+# weight is quantized to MIX_SCALE once (the single pow() per source —
+# ~dozens of rows, computed identically from exact BIGINT token counts
+# in both engines), then normalization and expected-token allocation
+# are integer floor-divisions, so there is no float-sum order hazard
+# and no round() boundary at all. The whole operator is two tiny
+# aggregates over one map-side token count — at 100 TB it is one
+# pass over the corpus plus driver-size arithmetic.
+# --------------------------------------------------------------------------
+
+MIX_ALPHA = 0.7
+MIX_SCALE = 1_000_000_000
+
+
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: total whitespace tokens, the temperature-resampled
+    mix weight in parts-per-million, and the expected token allocation
+    out of the corpus total under that weight."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("src_tokens")
+    )
+    tot = per.agg(F.sum("src_tokens").cast("long").alias("tot_tokens"))
+    q = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.pow(
+                F.col("src_tokens").cast("double")
+                / F.col("tot_tokens").cast("double"),
+                F.lit(MIX_ALPHA),
+            )
+            * F.lit(MIX_SCALE)
+        ).cast("long"),
+    )
+    den = q.agg(F.sum("wq").cast("long").alias("sum_wq"))
+    out = q.crossJoin(F.broadcast(den))
+    return out.select(
+        "source",
+        "src_tokens",
+        _floordiv(F.col("wq") * 1_000_000, F.col("sum_wq")).alias("weight_ppm"),
+        _floordiv(F.col("wq") * F.col("tot_tokens"), F.col("sum_wq")).alias(
+            "expected_tokens"
+        ),
+    )
