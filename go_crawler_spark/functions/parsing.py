@@ -442,3 +442,60 @@ def q_json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.getField("url").alias("job_url"),
         back.getField("status").alias("job_status"),
     )
+
+
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier hygiene beyond robots.txt: every candidate URL checked
+    against an operator-maintained blocklist of (host-or-wildcard,
+    path-prefix) rules with robots-style longest-prefix-wins
+    attribution (ties → smallest rule_id).
+
+    Shape is the 100 TB one: the rule table is tiny and broadcast; the
+    match is a broadcast join (the host equality/wildcard + prefix
+    predicate runs map-side), then one groupBy on the URL key picks the
+    winning rule — the frontier never shuffles its payload. URLs are
+    synthesized deterministically from ``orders`` and rules from
+    ``nation`` so the oracle replays both sides exactly."""
+    orders = load(spark, sf_dir, "orders")
+    urls = orders.select(
+        "o_orderkey",
+        F.format_string("shop%d.example.com", F.col("o_custkey") % 40).alias(
+            "host"
+        ),
+        F.format_string(
+            "/cat%d/item%d", F.col("o_orderkey") % 25, F.col("o_orderkey")
+        ).alias("path"),
+    )
+    nation = load(spark, sf_dir, "nation")
+    rules = nation.select(
+        F.col("n_nationkey").cast("long").alias("rule_id"),
+        F.when(
+            F.col("n_nationkey") % 2 == 0,
+            F.format_string("shop%d.example.com", F.col("n_nationkey") % 40),
+        )
+        .otherwise(F.lit("*"))
+        .alias("host_pat"),
+        F.format_string("/cat%d", F.col("n_nationkey")).alias("path_prefix"),
+    )
+    cond = (
+        (F.col("host_pat") == "*") | (F.col("host_pat") == F.col("host"))
+    ) & F.col("path").startswith(F.col("path_prefix"))
+    hits = (
+        urls.join(F.broadcast(rules), cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max_by(
+                "rule_id",
+                F.struct(
+                    F.length("path_prefix").alias("l"),
+                    (-F.col("rule_id")).alias("nr"),
+                ),
+            ).alias("matched_rule")
+        )
+    )
+    return urls.join(hits, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.concat(F.lit("https://"), F.col("host"), F.col("path")).alias("url"),
+        F.col("matched_rule").isNotNull().alias("blocked"),
+        "matched_rule",
+    )

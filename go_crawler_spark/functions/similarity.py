@@ -830,3 +830,126 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(dup, "vec_id", "left").select(
         "vec_id", "cell", "dup_of", F.col("dup_of").isNull().alias("keep")
     )
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    signature-agreement estimate (matches/16 — exact dyadic double)
+    next to the exact token-set Jaccard. The signature positions are
+    reconstructed from the band kernel's key columns (4 bands × 4 rows
+    = the full 16-perm signature), so the estimate costs one extra
+    equi-join per side on the already-computed bands — no second pass
+    over the text."""
+    cand = q_minhash_lsh_candidates(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    bands = minhash_bands_kernel(docs.select("doc_id", "text"))
+    ks = ("k0", "k1", "k2", "k3")
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id",
+        *[F.col(k).alias(f"{k}_a") for k in ks],
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id",
+        *[F.col(k).alias(f"{k}_b") for k in ks],
+    )
+    per_band = None
+    for k in ks:
+        ind = (F.col(f"{k}_a") == F.col(f"{k}_b")).cast("long")
+        per_band = ind if per_band is None else per_band + ind
+    sig = (
+        cand.join(ba, "doc_a")
+        .join(bb, ["doc_b", "band_id"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(per_band).cast("long").alias("sig_matches"))
+    )
+    th = docs.select("doc_id", token_hashes(F.col("text")).alias("hs"))
+    ha = th.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = th.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        sig.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sig_matches",
+            (F.col("sig_matches").cast("double") / F.lit(16.0)).alias(
+                "est_jaccard"
+            ),
+            jaccard(F.col("hs_a"), F.col("hs_b")).alias("exact_jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# K-means over the embedding table — the clustering primitive under
+# IVF index builds and SemDeDup-style curation, and the repo's iterative-
+# algorithm showcase: each Lloyd iteration is one broadcast-assign (map-
+# side) plus one groupBy-mean (single shuffle keyed by the int cell id),
+# so a 10^10-vector corpus iterates in O(iters) shuffles with centroid
+# state never larger than k×dim. Determinism for the oracle: embeddings
+# are quantized to integers (floor(x·10^6)) BEFORE the mean, so the
+# per-cell sums are exact BIGINTs in any aggregation order and the new
+# centroid values are identical doubles in both engines.
+# --------------------------------------------------------------------------
+
+KMEANS_QUANT = 1_000_000.0
+
+
+def nearest_cell(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by cosine, ties toward the
+    smaller centroid id. cents: (cid, cvec), broadcast."""
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("c_cos")
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg_cid"))
+        ).alias("cell")
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration from the deterministic pivot seeding:
+    assign → integer-exact mean update → reassign. Output is each
+    vector's initial and final cell plus whether it moved."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents0 = emb.filter(F.col("vec_id") % IVF_PIVOT_MOD == IVF_PIVOT_REM).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a1 = nearest_cell(emb, cents0)
+    qvec = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(KMEANS_QUANT)).cast("long"),
+    )
+    sums = (
+        emb.join(a1, "vec_id")
+        .select("cell", F.posexplode(qvec).alias("pos", "qv"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("qv").cast("long").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    cents1 = (
+        sums.withColumn(
+            "val",
+            F.col("s").cast("double") / F.col("cnt").cast("double")
+            / F.lit(KMEANS_QUANT),
+        )
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda x: x["val"],
+            ).alias("cvec")
+        )
+        .select(F.col("cell").alias("cid"), "cvec")
+    )
+    a2 = nearest_cell(emb, cents1).withColumnRenamed("cell", "cell_final")
+    return (
+        a1.withColumnRenamed("cell", "cell_init")
+        .join(a2, "vec_id")
+        .select(
+            "vec_id",
+            "cell_init",
+            "cell_final",
+            (F.col("cell_init") != F.col("cell_final")).alias("moved"),
+        )
+    )

@@ -1495,3 +1495,183 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {BM25_TOPK}
 """
+
+# --- cross-doc duplicated 8-grams ---------------------------------------------
+# Mirrors functions/cleaning.py::q_dup_ngram_fraction: distinct word
+# 8-gram poly-hashes per doc, document frequency ≥ 2 ⇒ duplicated,
+# verdict by integer rational compare.
+
+from go_crawler_spark.functions.cleaning import (  # noqa: E402
+    DUPNGRAM_DEN,
+    DUPNGRAM_N,
+    DUPNGRAM_NUM,
+)
+
+DUP_NGRAM_FRACTION = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(ts) - {DUPNGRAM_N - 1} > 0
+                THEN list_transform(generate_series(1, len(ts) - {DUPNGRAM_N - 1}),
+                                    i -> array_to_string(ts[i:i+{DUPNGRAM_N - 1}], ' '))
+                ELSE [] END,
+           s -> {_poly_hash_sql('s')})) AS hs
+  FROM toks),
+base AS (
+  SELECT doc_id, hs, len(hs) AS n_shingles FROM sh),
+expl AS (
+  SELECT doc_id, unnest(hs) AS h FROM base),
+dup AS (
+  SELECT h FROM expl GROUP BY h HAVING count(*) >= 2),
+hits AS (
+  SELECT e.doc_id, count(*) AS n FROM expl e JOIN dup USING (h)
+  GROUP BY e.doc_id)
+SELECT b.doc_id,
+       CAST(b.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_dup,
+       (b.n_shingles > 0
+        AND COALESCE(h.n, 0) * {DUPNGRAM_DEN} >= b.n_shingles * {DUPNGRAM_NUM})
+         AS dup_heavy
+FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""
+
+# --- temperature-resampled source mix -----------------------------------------
+# Mirrors functions/textstats.py::q_source_mix_weights. The single
+# pow() per source runs on exact BIGINT-derived doubles; everything
+# downstream is integer floor-division ((a − a%b)/b stays exact in
+# doubles below 2^53), so no float-sum order or round() boundary.
+
+from go_crawler_spark.functions.textstats import MIX_ALPHA, MIX_SCALE  # noqa: E402
+
+SOURCE_MIX_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, CAST(sum(len({_TOK})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens FROM per),
+q AS (
+  SELECT source, src_tokens, tot_tokens,
+         CAST(floor(pow(CAST(src_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE),
+                        {MIX_ALPHA}) * {MIX_SCALE}) AS BIGINT) AS wq
+  FROM per CROSS JOIN tot),
+den AS (
+  SELECT CAST(sum(wq) AS BIGINT) AS sum_wq FROM q)
+SELECT source, src_tokens,
+       CAST((wq * 1000000 - (wq * 1000000) % sum_wq) / sum_wq AS BIGINT)
+         AS weight_ppm,
+       CAST((wq * tot_tokens - (wq * tot_tokens) % sum_wq) / sum_wq AS BIGINT)
+         AS expected_tokens
+FROM q CROSS JOIN den
+"""
+
+# --- MinHash sketch accuracy ---------------------------------------------------
+# Mirrors functions/similarity.py::q_minhash_jaccard_estimate: the LSH
+# candidate CTEs (identical hot-bucket cap), signature agreement out of
+# 16 positions (matches/16 is a dyadic-exact double), exact Jaccard via
+# the proven list_intersect/list_distinct form.
+
+MINHASH_JACCARD_ESTIMATE = f"""
+WITH {_MINHASH_CAND_CTES},
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_filter(generate_series(1, {LSH_BANDS * LSH_ROWS}),
+              i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS sig_matches
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b)
+SELECT e.doc_a, e.doc_b, e.sig_matches,
+       CAST(e.sig_matches AS DOUBLE) / 16.0 AS est_jaccard,
+       round(CASE WHEN len(list_distinct(ha.hs || hb.hs)) > 0
+                  THEN len(list_intersect(ha.hs, hb.hs))
+                       / len(list_distinct(ha.hs || hb.hs))
+                  ELSE 0.0 END, 4) AS exact_jaccard
+FROM est e
+JOIN th ha ON ha.doc_id = e.doc_a
+JOIN th hb ON hb.doc_id = e.doc_b
+"""
+
+# --- k-means (one Lloyd iteration) ---------------------------------------------
+# Mirrors functions/similarity.py::q_kmeans_assign. Embeddings are
+# quantized (floor(x·10^6) as BIGINT) before the mean so per-cell sums
+# are order-independent exact integers; new centroid values are the
+# identical doubles in both engines; assignment ties break to the
+# smaller centroid id.
+
+KMEANS_ASSIGN = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         {_norm_sql('embedding')} AS nrm
+  FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid, emb AS cvec, nrm AS cnrm FROM e
+  WHERE vec_id % {IVF_PIVOT_MOD} = {IVF_PIVOT_REM}),
+a1 AS (
+  SELECT vec_id, cid AS cell_init FROM (
+    SELECT e.vec_id, c0.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_dot_sql('e.emb', 'c0.cvec')} / (e.nrm * c0.cnrm) DESC,
+               c0.cid ASC) AS rn
+    FROM e CROSS JOIN c0) WHERE rn = 1),
+q AS (
+  SELECT a1.cell_init AS cell, u.pos,
+         CAST(floor(e.emb[u.pos] * 1000000.0) AS BIGINT) AS qv
+  FROM e JOIN a1 USING (vec_id),
+       unnest(generate_series(1, {ANN_DIM})) AS u(pos)),
+sums AS (
+  SELECT cell, pos, CAST(sum(qv) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM q GROUP BY cell, pos),
+c1 AS (
+  SELECT cell AS cid,
+         list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+              ORDER BY pos) AS cvec
+  FROM sums GROUP BY cell),
+c1n AS (
+  SELECT cid, cvec, {_norm_sql('cvec')} AS cnrm FROM c1),
+a2 AS (
+  SELECT vec_id, cid AS cell_final FROM (
+    SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {_dot_sql('e.emb', 'c.cvec')} / (e.nrm * c.cnrm) DESC,
+               c.cid ASC) AS rn
+    FROM e CROSS JOIN c1n c) WHERE rn = 1)
+SELECT a1.vec_id, a1.cell_init, a2.cell_final,
+       a1.cell_init <> a2.cell_final AS moved
+FROM a1 JOIN a2 USING (vec_id)
+"""
+
+# --- URL blocklist filter --------------------------------------------------------
+# Mirrors functions/parsing.py::q_url_blocklist_filter: URLs from
+# orders, rules from nation, longest-prefix-wins with rule_id tiebreak.
+
+URL_BLOCKLIST_FILTER = """
+WITH urls AS (
+  SELECT o_orderkey,
+         'shop' || CAST(o_custkey % 40 AS VARCHAR) || '.example.com' AS host,
+         '/cat' || CAST(o_orderkey % 25 AS VARCHAR) || '/item'
+           || CAST(o_orderkey AS VARCHAR) AS path
+  FROM orders),
+rules AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS rule_id,
+         CASE WHEN n_nationkey % 2 = 0
+              THEN 'shop' || CAST(n_nationkey % 40 AS VARCHAR) || '.example.com'
+              ELSE '*' END AS host_pat,
+         '/cat' || CAST(n_nationkey AS VARCHAR) AS path_prefix
+  FROM nation),
+hits AS (
+  SELECT o_orderkey, rule_id, row_number() OVER (
+      PARTITION BY o_orderkey
+      ORDER BY length(path_prefix) DESC, rule_id ASC) AS rn
+  FROM urls u JOIN rules r
+    ON (r.host_pat = '*' OR r.host_pat = u.host)
+   AND starts_with(u.path, r.path_prefix)),
+best AS (
+  SELECT o_orderkey, rule_id AS matched_rule FROM hits WHERE rn = 1)
+SELECT u.o_orderkey,
+       'https://' || u.host || u.path AS url,
+       b.matched_rule IS NOT NULL AS blocked,
+       b.matched_rule
+FROM urls u LEFT JOIN best b ON b.o_orderkey = u.o_orderkey
+"""

@@ -107,6 +107,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # robots.txt → per-host politeness config (north-rule addition)
     "robots_parse": (parsing.q_robots_parse, oracles.ROBOTS_PARSE),
+    # operator blocklist: broadcast (host|*, path-prefix) rules,
+    # longest-prefix-wins attribution
+    "url_blocklist_filter": (
+        parsing.q_url_blocklist_filter,
+        oracles.URL_BLOCKLIST_FILTER,
+    ),
     "json_codec": (parsing.q_json_codec, oracles.JSON_CODEC),
     # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
     "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),
@@ -136,6 +142,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # eval-set n-gram decontamination (broadcast eval shingle probe)
     "decontaminate": (cleaning.q_decontaminate, oracles.DECONTAMINATE),
+    # cross-doc duplicated-passage share (8-gram df ≥ 2, hash-keyed)
+    "dup_ngram_fraction": (
+        cleaning.q_dup_ngram_fraction,
+        oracles.DUP_NGRAM_FRACTION,
+    ),
+    # temperature-resampled source mixing weights (integer-exact)
+    "source_mix_weights": (
+        textstats.q_source_mix_weights,
+        oracles.SOURCE_MIX_WEIGHTS,
+    ),
     "quality_score": (textstats.q_quality_score, oracles.QUALITY_SCORE),
     "lang_id": (textstats.q_lang_id, oracles.LANG_ID),
     "fingerprint": (textstats.q_fingerprint, oracles.FINGERPRINT),
@@ -162,6 +178,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_minhash_lsh_candidates,
         oracles.MINHASH_LSH_CANDIDATES,
     ),
+    # sketch-accuracy audit: signature-agreement estimate vs exact Jaccard
+    "minhash_jaccard_estimate": (
+        similarity.q_minhash_jaccard_estimate,
+        oracles.MINHASH_JACCARD_ESTIMATE,
+    ),
+    # one Lloyd iteration with integer-exact centroid means
+    "kmeans_assign": (similarity.q_kmeans_assign, oracles.KMEANS_ASSIGN),
     "neardup_components": (
         similarity.q_neardup_components,
         oracles.NEARDUP_COMPONENTS,
