@@ -128,6 +128,13 @@ def main() -> None:
         "audio_features",  # multimodal audio → integer clip features
         "robots_parse",
         "stream_windowed_counts",  # structured-streaming representative
+        "semantic_dedup",  # SemDeDup cell-cosine gate
+        "kmeans_assign",  # Lloyd iteration (broadcast assign + 1 shuffle)
+        "dup_ngram_fraction",  # cross-doc duplicated-passage share
+        "bm25_topk",  # keyword relevance top-k
+        "source_mix_weights",  # temperature-resampled data mix
+        "url_blocklist_filter",  # broadcast rule gate on the frontier
+        "minhash_jaccard_estimate",  # sketch-accuracy audit
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -1,0 +1,146 @@
+"""Property tests for the round-3 corpus-assembly additions: semantic
+dedup, BM25, k-means, duplicated-passage share, source mixing, URL
+blocklist, and the MinHash accuracy audit. The value-hash gate lives in
+the oracle suite; these tests pin the semantic invariants a hash can't
+express (recall of planted dups, rank monotonicity, rule attribution).
+"""
+
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.cleaning import q_dup_ngram_fraction
+from go_crawler_spark.functions.parsing import q_url_blocklist_filter
+from go_crawler_spark.functions.search import BM25_TERMS, BM25_TOPK, q_bm25_topk
+from go_crawler_spark.functions.similarity import (
+    IVF_PIVOT_MOD,
+    IVF_PIVOT_REM,
+    NEARDUP_DUP_OFFSET,
+    q_kmeans_assign,
+    q_minhash_jaccard_estimate,
+    q_semantic_dedup,
+)
+from go_crawler_spark.functions.textstats import q_source_mix_weights
+
+
+def test_semantic_dedup_drops_planted_dups(spark, sf_small):
+    """Every planted near-duplicate that lands in its original's cell
+    must be dropped with the original (a lower id) as culprit — the
+    planted perturbation is far inside the cosine threshold."""
+    rows = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf_small).collect()}
+    planted = [vid for vid in rows if vid >= NEARDUP_DUP_OFFSET]
+    assert planted, "corpus must contain planted dups"
+    same_cell = [
+        vid
+        for vid in planted
+        if rows[vid - NEARDUP_DUP_OFFSET]["cell"] == rows[vid]["cell"]
+    ]
+    # the perturbed copy should almost always share the original's cell
+    assert len(same_cell) >= len(planted) * 9 // 10
+    for vid in same_cell:
+        assert rows[vid]["keep"] is False
+        assert rows[vid]["dup_of"] is not None
+        assert rows[vid]["dup_of"] < vid
+    # keeps are exactly the rows with no culprit
+    assert all((r["dup_of"] is None) == r["keep"] for r in rows.values())
+
+
+def test_bm25_ranking_properties(spark, sf_small):
+    rows = q_bm25_topk(spark, sf_small).orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == BM25_TOPK
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every top-scoring doc matches at least one query term
+    assert all(
+        sum(r[f"tf_{t}"] for t in BM25_TERMS) > 0 for r in rows
+    )
+
+
+def test_kmeans_assign_cells_and_convergence_direction(spark, sf_small):
+    df = q_kmeans_assign(spark, sf_small)
+    rows = df.collect()
+    pivots = {
+        r["vec_id"]
+        for r in rows
+        if r["vec_id"] % IVF_PIVOT_MOD == IVF_PIVOT_REM
+    }
+    for r in rows:
+        assert r["cell_init"] in pivots
+        assert r["cell_final"] in pivots
+        assert r["moved"] == (r["cell_init"] != r["cell_final"])
+    # the mean update must not be a no-op NOR a complete reshuffle
+    moved = sum(r["moved"] for r in rows)
+    assert 0 <= moved < len(rows) // 2
+
+
+def test_kmeans_assign_deterministic_under_repartition(spark, sf_small):
+    a = {
+        (r["vec_id"], r["cell_final"])
+        for r in q_kmeans_assign(spark, sf_small).repartition(13).collect()
+    }
+    b = {
+        (r["vec_id"], r["cell_final"])
+        for r in q_kmeans_assign(spark, sf_small).repartition(3).collect()
+    }
+    assert a == b
+
+
+def test_dup_ngram_fraction_invariants(spark, sf_small):
+    rows = q_dup_ngram_fraction(spark, sf_small).collect()
+    assert rows
+    assert all(0 <= r["n_dup"] <= r["n_shingles"] for r in rows)
+    # the synthetic corpus is dup-heavy: some cross-doc 8-grams exist
+    assert any(r["n_dup"] > 0 for r in rows)
+    # a doc with zero shingles is never dup_heavy
+    assert all(r["dup_heavy"] is False for r in rows if r["n_shingles"] == 0)
+
+
+def test_source_mix_weights_temperature(spark, sf_small):
+    rows = q_source_mix_weights(spark, sf_small).collect()
+    total_ppm = sum(r["weight_ppm"] for r in rows)
+    # floor-division rounds each weight down: sum within n_sources ppm
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    tot_tokens = sum(r["src_tokens"] for r in rows)
+    assert sum(r["expected_tokens"] for r in rows) <= tot_tokens
+    # alpha < 1 compresses the mix: the smallest source gains share,
+    # the largest loses share
+    lo = min(rows, key=lambda r: r["src_tokens"])
+    hi = max(rows, key=lambda r: r["src_tokens"])
+    if lo["src_tokens"] < hi["src_tokens"]:
+        assert lo["weight_ppm"] * tot_tokens > lo["src_tokens"] * 1_000_000
+        assert hi["weight_ppm"] * tot_tokens < hi["src_tokens"] * 1_000_000
+
+
+def test_url_blocklist_matches_scalar_rules(spark, sf_small):
+    """Recompute the verdicts in pure Python (independent derivation)."""
+    out = q_url_blocklist_filter(spark, sf_small).collect()
+    assert out
+    rules = []
+    for k in range(25):  # nation has 25 rows, n_nationkey 0..24
+        host_pat = f"shop{k}.example.com" if k % 2 == 0 else "*"
+        rules.append((k, host_pat, f"/cat{k}"))
+    for r in out:
+        url = r["url"]
+        assert url.startswith("https://")
+        host, _, path = url[len("https://"):].partition("/")
+        path = "/" + path
+        matches = [
+            (rid, prefix)
+            for rid, hp, prefix in rules
+            if (hp == "*" or hp == host) and path.startswith(prefix)
+        ]
+        if matches:
+            best = sorted(matches, key=lambda m: (-len(m[1]), m[0]))[0][0]
+            assert r["blocked"] is True and r["matched_rule"] == best, url
+        else:
+            assert r["blocked"] is False and r["matched_rule"] is None, url
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small):
+    rows = q_minhash_jaccard_estimate(spark, sf_small).collect()
+    assert rows
+    assert all(0 <= r["sig_matches"] <= 16 for r in rows)
+    assert all(abs(r["est_jaccard"] - r["sig_matches"] / 16.0) < 1e-12 for r in rows)
+    # sketch quality: the mean absolute error of a 16-perm MinHash on
+    # LSH-selected (i.e. similarity-biased) pairs stays well under 0.25
+    mae = sum(abs(r["est_jaccard"] - r["exact_jaccard"]) for r in rows) / len(rows)
+    assert mae < 0.25, mae

@@ -145,6 +145,45 @@ AUDITED = {
         ["BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin"],
     ),
+    # semantic dedup: the pivot cross is a broadcast NLJ by design (tiny
+    # centroid dim, like ann_ivf_topk); the within-cell pair join must be
+    # a cell-keyed equi-join (SMJ/shuffle-hash — both sides are corpus-
+    # sized at 100 TB), never an all-pairs product
+    "semantic_dedup": (
+        ["BroadcastNestedLoopJoin", "SortAggregate"],
+        ["CartesianProduct"],
+    ),
+    # k-means: broadcast centroid assign (NLJ on the tiny dim) + ONE
+    # shuffle per iteration for the (cell, pos) mean — no product
+    "kmeans_assign": (
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+        ["CartesianProduct"],
+    ),
+    # BM25: corpus stats reduce to one broadcast row (NLJ against a
+    # 1-row dim is a pass-through); top-k must be TakeOrderedAndProject
+    # (parallel partial top-k), never a single-partition global sort
+    "bm25_topk": (
+        ["TakeOrderedAndProject", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # duplicated-passage share: both shuffles keyed on the shingle hash /
+    # doc_id; the df table is pre-aggregated so the probe is an equi-join
+    "dup_ngram_fraction": (
+        ["HashAggregate", "Generate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # source mix: two tiny aggregates + 1-row broadcast crosses only
+    "source_mix_weights": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # blocklist: the rule gate is a broadcast NLJ against the ~25-row
+    # rule dim by design (prefix predicate can't equi-join); the verdict
+    # join back to the frontier is a key equi-join
+    "url_blocklist_filter": (
+        ["BroadcastNestedLoopJoin"],
+        ["CartesianProduct"],
+    ),
 }
 
 
