@@ -98,6 +98,10 @@ def main() -> None:
 
     from go_crawler_spark.session import get_spark
 
+    # NOT pre-touching the heap here (SPARK_GRAFT_PRETOUCH): measured 215 s
+    # to fault 16 GiB at session start in the host's slow mode — strictly
+    # more fault work than lazy touch (sf0.1 queries use a few GiB), just
+    # relocated. The kernel headline is guarded by best-of-2 instead.
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
 
     headline = [

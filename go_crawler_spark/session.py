@@ -51,6 +51,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH"):
+        # Fault the whole heap in at JVM start (-Xms=-Xmx + AlwaysPreTouch).
+        # On virtualized hosts the first touch of each fresh heap page can
+        # fault through the hypervisor; untouched, that cost lands inside
+        # whichever query grows the heap first and inflates identical runs
+        # up to ~6x (measured: 54-335 s for the same cold kernel, ~89%
+        # system CPU during the slow episodes). Pre-touching pays it once
+        # at session start. Opt-in and OFF by default everywhere: faulting
+        # the full heap costs strictly more than lazy touch when queries
+        # use only a few GiB (measured 215 s for 16 GiB in the slow mode),
+        # and python-worker/Arrow memory is outside the JVM heap anyway —
+        # bench.py guards its headline with best-of-2 runs instead. Kept
+        # for experiments on hosts where first-touch is the dominant cost.
+        heap = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xms{heap} -XX:+AlwaysPreTouch"
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
