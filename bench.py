@@ -135,6 +135,7 @@ def main() -> None:
         "semantic_dedup",  # SemDeDup cell-cosine gate
         "kmeans_assign",  # Lloyd iteration (broadcast assign + 1 shuffle)
         "dup_ngram_fraction",  # cross-doc duplicated-passage share
+        "top_ngram_share",  # within-doc top-2-gram repetition (narrow map)
         "bm25_topk",  # keyword relevance top-k
         "source_mix_weights",  # temperature-resampled data mix
         "url_blocklist_filter",  # broadcast rule gate on the frontier

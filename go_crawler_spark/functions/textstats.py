@@ -203,6 +203,84 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("gopher_keep", keep)
 
 
+# --------------------------------------------------------------------------
+# Top-n-gram repetition share (Gopher's "fraction in the most common
+# n-gram" rule, Rae et al. 2021 §A1.1, in exact token form) — the
+# WITHIN-doc counterpart of the cross-doc dup_ngram_fraction. A per-doc
+# statistic never needs the corpus shuffled: this is a zero-shuffle
+# narrow map (sort the doc's 2-gram hashes, fold the longest run), so at
+# 100 TB it rides the scan like the other quality rules. The DuckDB
+# oracle derives the same answer the independent way (group-count +
+# window rank), so the pairing checks the run-fold, not a shared bug.
+# --------------------------------------------------------------------------
+
+TOPNGRAM_N = 2
+TOPNGRAM_NUM = 1  # repetitive ⇔ top_count·DEN ≥ n_ngrams·NUM (20%)
+TOPNGRAM_DEN = 5
+
+
+def q_top_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: total word-2-gram count, the occurrence count and
+    hash of the most frequent 2-gram (ties → smallest hash), and the
+    repetitive verdict by integer rational compare."""
+    from go_crawler_spark.functions.similarity import P31
+
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    k = F.size(toks) - (TOPNGRAM_N - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, TOPNGRAM_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.array_sort(
+        F.transform(
+            grams,
+            lambda s: F.aggregate(
+                F.split(s, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 31 + F.ascii(c)) % P31,
+            ),
+        )
+    )
+    # longest equal-run fold over the sorted hashes; a run grows 1,2,…
+    # so strict `run > best_c` both maximizes the count and, on ties,
+    # keeps the earliest (= smallest, ascending sort) hash
+    init = F.struct(
+        F.lit(-1).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_c"),
+        F.lit(-1).cast("long").alias("best_h"),
+    )
+
+    def step(acc: Column, h: Column) -> Column:
+        run = F.when(h == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc.getField("best_c")
+        return F.struct(
+            h.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("best_c")).alias("best_c"),
+            F.when(better, h).otherwise(acc.getField("best_h")).alias("best_h"),
+        )
+
+    top = F.aggregate(hs, init, step)
+    n_ngrams = F.size(hs).cast("long")
+    return docs.select(
+        "doc_id",
+        n_ngrams.alias("n_ngrams"),
+        top.getField("best_c").alias("top_count"),
+        F.when(n_ngrams > 0, top.getField("best_h")).alias("top_hash"),
+    ).withColumn(
+        "repetitive",
+        (F.col("n_ngrams") > 0)
+        & (F.col("top_count") * TOPNGRAM_DEN >= F.col("n_ngrams") * TOPNGRAM_NUM),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))

@@ -1537,6 +1537,52 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
 
+# --- within-doc top-2-gram repetition share -----------------------------------
+# Mirrors functions/textstats.py::q_top_ngram_share, derived the
+# independent way: the Spark side folds the longest run over each doc's
+# sorted 2-gram hashes (zero-shuffle narrow map); this side group-counts
+# the exploded 2-grams and window-ranks (count DESC, hash ASC), so the
+# value-hash compare cross-checks two different algorithms.
+
+from go_crawler_spark.functions.textstats import (  # noqa: E402
+    TOPNGRAM_DEN,
+    TOPNGRAM_N,
+    TOPNGRAM_NUM,
+)
+
+TOP_NGRAM_SHARE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) - {TOPNGRAM_N - 1} > 0
+              THEN list_transform(generate_series(1, len(ts) - {TOPNGRAM_N - 1}),
+                                  i -> array_to_string(ts[i:i+{TOPNGRAM_N - 1}], ' '))
+              ELSE [] END AS gs
+  FROM toks),
+expl AS (
+  SELECT doc_id, {_poly_hash_sql('g')} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM sh) u),
+cnt AS (
+  SELECT doc_id, h, count(*) AS c FROM expl GROUP BY doc_id, h),
+ranked AS (
+  SELECT doc_id, h, c,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, h ASC) AS rn
+  FROM cnt),
+tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams FROM cnt GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(r.c, 0) AS BIGINT) AS top_count,
+       r.h AS top_hash,
+       (COALESCE(t.n_ngrams, 0) > 0
+        AND COALESCE(r.c, 0) * {TOPNGRAM_DEN}
+            >= COALESCE(t.n_ngrams, 0) * {TOPNGRAM_NUM}) AS repetitive
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+"""
+
 # --- temperature-resampled source mix -----------------------------------------
 # Mirrors functions/textstats.py::q_source_mix_weights. The single
 # pow() per source runs on exact BIGINT-derived doubles; everything

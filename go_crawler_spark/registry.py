@@ -147,6 +147,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cleaning.q_dup_ngram_fraction,
         oracles.DUP_NGRAM_FRACTION,
     ),
+    # within-doc top-2-gram repetition share (zero-shuffle narrow map)
+    "top_ngram_share": (
+        textstats.q_top_ngram_share,
+        oracles.TOP_NGRAM_SHARE,
+    ),
     # temperature-resampled source mixing weights (integer-exact)
     "source_mix_weights": (
         textstats.q_source_mix_weights,

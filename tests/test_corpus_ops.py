@@ -144,3 +144,64 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_small):
     # LSH-selected (i.e. similarity-biased) pairs stays well under 0.25
     mae = sum(abs(r["est_jaccard"] - r["exact_jaccard"]) for r in rows) / len(rows)
     assert mae < 0.25, mae
+
+
+def test_top_ngram_share_matches_bruteforce(spark, sf_small):
+    """Third derivation of the top-2-gram rule: the Spark side folds the
+    longest run over sorted hashes, the DuckDB oracle window-ranks group
+    counts, and this test recomputes every row with Counter — including
+    the tie-break (max count, then smallest hash)."""
+    import collections
+
+    import pandas as pd
+
+    from go_crawler_spark.functions.similarity import P31
+    from go_crawler_spark.functions.textstats import (
+        TOPNGRAM_DEN,
+        TOPNGRAM_N,
+        TOPNGRAM_NUM,
+        q_top_ngram_share,
+    )
+
+    docs = pd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P31
+        return acc
+
+    expected = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ts = [t for t in text.strip().split() if t]
+        grams = [
+            " ".join(ts[i : i + TOPNGRAM_N])
+            for i in range(len(ts) - TOPNGRAM_N + 1)
+        ]
+        counts = collections.Counter(poly(g) for g in grams)
+        n = len(grams)
+        if counts:
+            top_count = max(counts.values())
+            top_hash = min(h for h, c in counts.items() if c == top_count)
+        else:
+            top_count, top_hash = 0, None
+        expected[did] = (
+            n,
+            top_count,
+            top_hash,
+            n > 0 and top_count * TOPNGRAM_DEN >= n * TOPNGRAM_NUM,
+        )
+
+    rows = q_top_ngram_share(spark, sf_small).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (
+            r["n_ngrams"],
+            r["top_count"],
+            r["top_hash"],
+            r["repetitive"],
+        ) == expected[r["doc_id"]], r["doc_id"]
+    # non-degenerate: the corpus's small vocabulary repeats bigrams
+    assert any(r["top_count"] >= 2 for r in rows)

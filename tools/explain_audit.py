@@ -50,6 +50,12 @@ AUDITED = {
         ["Project", "Scan parquet"],
         ["Exchange", "CartesianProduct"],  # pure projection, no shuffle
     ),
+    "top_ngram_share": (
+        ["Project", "Scan parquet"],
+        # the within-doc rule is a sorted-run fold per row — a per-doc
+        # statistic must never shuffle the corpus
+        ["Exchange", "CartesianProduct"],
+    ),
     "location_parse": (
         ["BroadcastNestedLoopJoin"],  # contains-join vs 47-row dim: expected
         ["CartesianProduct"],
