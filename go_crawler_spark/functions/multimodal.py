@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -151,6 +151,12 @@ PHASH_N_DOCS = 300  # deterministic subset: doc_id < 300
 PHASH_VARIANT_OFFSET = 100_000  # planted near-dup img_id = doc_id + offset
 PHASH_MAX_HAMMING = 8
 _PHASH_BANDS = 4  # 64-bit hash → 4 × 16-bit bands
+# Hot-bucket guard, same hygiene as MinHash LSH (similarity.LSH_MAX_BUCKET):
+# a constant-color image class floods one 16-bit band value and would emit
+# O(n²) pairs; band rows in buckets larger than this are dropped (the drop
+# is observable via phash_hot_buckets, and the golden oracle applies the
+# identical cap).
+PHASH_MAX_BUCKET = 512
 
 
 def _phash_pixels(doc_id: int) -> np.ndarray:
@@ -203,19 +209,10 @@ def phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(synth, schema="img_id long, phash long")
 
 
-def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup pairs via banded equi-join + Hamming
-    rerank: (img_a, img_b, hamming) with hamming ≤ PHASH_MAX_HAMMING
-    among pairs sharing ≥1 of 4 16-bit bands.
-
-    Scale shape: band rows are (img_id, band_id, band_val int) — the
-    join shuffles 4 tiny rows per image on exact band keys, never
-    pixels, never all-pairs; the rerank is codegen'd bit_count(XOR).
-    At 100 TB this is the same bucket-equi-join plan as MinHash LSH
-    (same hot-bucket hygiene applies — reuse the cap pattern if a
-    constant-color image class floods one band)."""
-    corpus = phash_corpus(spark, sf_dir)
-    bands = corpus.select(
+def _phash_band_rows(corpus: DataFrame) -> DataFrame:
+    """(img_id, phash) → one row per 16-bit band: (img_id, phash,
+    band_id, band_val)."""
+    return corpus.select(
         "img_id",
         "phash",
         F.posexplode(
@@ -228,6 +225,23 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band_id", "band_val"),
+    )
+
+
+def phash_neardup_pairs(
+    corpus: DataFrame, max_bucket: int = PHASH_MAX_BUCKET
+) -> DataFrame:
+    """Near-dup pairs over an (img_id, phash) corpus: banded equi-join,
+    hot buckets dropped, exact Hamming rerank. The window count uses the
+    same (band_id, band_val) hash-partitioning the self-join needs, so
+    the Exchange is reused, not repeated (the _capped_bands pattern,
+    similarity.py)."""
+    bands = _phash_band_rows(corpus)
+    w = Window.partitionBy("band_id", "band_val")
+    bands = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= F.lit(max_bucket))
+        .drop("bucket_n")
     )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -247,6 +261,41 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+def phash_hot_buckets_for(
+    corpus: DataFrame, max_bucket: int = PHASH_MAX_BUCKET
+) -> DataFrame:
+    """The band buckets the guard drops: (band_id, band_val, bucket_n)
+    with bucket_n > max_bucket — pipelines log/count this alongside the
+    pair query so the drop is observable, never silent."""
+    bands = _phash_band_rows(corpus)
+    return (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > F.lit(max_bucket))
+    )
+
+
+def phash_hot_buckets(
+    spark: SparkSession, sf_dir: str, max_bucket: int = PHASH_MAX_BUCKET
+) -> DataFrame:
+    return phash_hot_buckets_for(phash_corpus(spark, sf_dir), max_bucket)
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs via banded equi-join + Hamming
+    rerank: (img_a, img_b, hamming) with hamming ≤ PHASH_MAX_HAMMING
+    among pairs sharing ≥1 of 4 16-bit bands whose bucket is not
+    degenerate (> PHASH_MAX_BUCKET members).
+
+    Scale shape: band rows are (img_id, band_id, band_val int) — the
+    join shuffles 4 tiny rows per image on exact band keys, never
+    pixels, never all-pairs; the rerank is codegen'd bit_count(XOR).
+    At 100 TB this is the same bucket-equi-join plan as MinHash LSH,
+    with the same hot-bucket hygiene (a constant-color image class
+    floods one band value; the cap bounds any bucket's pair output)."""
+    return phash_neardup_pairs(phash_corpus(spark, sf_dir))
 
 
 # --- video frame-sampling ---------------------------------------------------
@@ -462,11 +511,21 @@ def audio_features_golden() -> list[tuple]:
     return out
 
 
-def phash_neardup_golden() -> list[tuple[int, int, int]]:
-    """Pure-Python replay of the banded join + rerank over the full
-    PHASH_N_DOCS corpus — the golden rows the DuckDB oracle pins. Same
-    kernel (codec.phash64), same band rule, brute-forced."""
+def phash_neardup_golden(
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> list[tuple[int, int, int]]:
+    """Pure-Python replay of the banded join + hot-bucket cap + rerank
+    over the full PHASH_N_DOCS corpus — the golden rows the DuckDB
+    oracle pins. Same kernel (codec.phash64), same band rule, same cap,
+    brute-forced."""
+    import collections
+
     rows = _phash_rows(range(PHASH_N_DOCS))
+    bucket_n: collections.Counter = collections.Counter()
+    for r in rows:
+        h = r["phash"] & 0xFFFFFFFFFFFFFFFF
+        for k in range(_PHASH_BANDS):
+            bucket_n[(k, (h >> (16 * k)) & 0xFFFF)] += 1
     out = []
     for i, ra in enumerate(rows):
         for rb in rows[i + 1 :]:
@@ -475,6 +534,7 @@ def phash_neardup_golden() -> list[tuple[int, int, int]]:
             hb = y["phash"] & 0xFFFFFFFFFFFFFFFF
             shares_band = any(
                 (ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                and bucket_n[(k, (ha >> (16 * k)) & 0xFFFF)] <= max_bucket
                 for k in range(_PHASH_BANDS)
             )
             hamming = bin(ha ^ hb).count("1")

@@ -790,19 +790,14 @@ def ivf_assign(corpus: DataFrame) -> DataFrame:
     """(vec_id, cell): nearest deterministic pivot by cosine, ties to the
     smaller pivot id — the same winner as the oracle's ORDER BY c_cos
     DESC, cid ASC. Pivot side is tiny (|corpus| / IVF_PIVOT_MOD) and
-    broadcast; the corpus streams map-side."""
+    broadcast; the corpus streams map-side. Only the pivot-selection
+    filter differs from k-means seeding, so the broadcast-cross +
+    cosine + max_by logic lives once in nearest_cell."""
     cents = corpus.filter(
         (F.col("vec_id") % IVF_PIVOT_MOD == IVF_PIVOT_REM)
         & (F.col("vec_id") < NEARDUP_DUP_OFFSET)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cid", cosine(F.col("embedding"), F.col("cvec")).alias("c_cos")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cid", F.struct(F.col("c_cos"), (-F.col("cid")).alias("neg_cid"))
-        ).alias("cell")
-    )
+    return nearest_cell(corpus, cents)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

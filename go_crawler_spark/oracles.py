@@ -18,6 +18,8 @@ Parity discipline (the driver hash-compares values):
 from __future__ import annotations
 
 from go_crawler_spark.functions.similarity import (
+    ANN_DIM,
+    ANN_LSH_BITS,
     LSH_BANDS,
     LSH_MAX_BUCKET,
     LSH_ROWS,
@@ -428,7 +430,7 @@ WITH base AS (
   FROM embeddings),
 dups AS (
   SELECT orig + {NEARDUP_DUP_OFFSET} AS vec_id,
-         list_transform(generate_series(0, 63),
+         list_transform(generate_series(0, {ANN_DIM - 1}),
            i -> CAST(emb[i + 1] AS DOUBLE)
                 + CAST((orig * 31 + i) % 7 - 3 AS DOUBLE) * 0.002) AS embedding
   FROM (SELECT vec_id AS orig, embedding AS emb
@@ -932,8 +934,6 @@ FROM rec
 
 # --- LSH-bucketed ANN (scale path) -------------------------------------------
 
-from go_crawler_spark.functions.similarity import ANN_DIM, ANN_LSH_BITS  # noqa: E402
-
 
 def _hyperplane_dot_sql(vec: str, k: int) -> str:
     return (
@@ -1406,7 +1406,7 @@ WITH base AS (
   FROM embeddings),
 dups AS (
   SELECT orig + {NEARDUP_DUP_OFFSET} AS vec_id,
-         list_transform(generate_series(0, 63),
+         list_transform(generate_series(0, {ANN_DIM - 1}),
            i -> CAST(emb[i + 1] AS DOUBLE)
                 + CAST((orig * 31 + i) % 7 - 3 AS DOUBLE) * 0.002) AS embedding
   FROM (SELECT vec_id AS orig, embedding AS emb
@@ -1607,7 +1607,9 @@ den AS (
 SELECT source, src_tokens,
        CAST((wq * 1000000 - (wq * 1000000) % sum_wq) / sum_wq AS BIGINT)
          AS weight_ppm,
-       CAST((wq * tot_tokens - (wq * tot_tokens) % sum_wq) / sum_wq AS BIGINT)
+       -- HUGEINT mirrors the Spark side's DECIMAL(38,0) product: both
+       -- exact past int64, so parity holds at any corpus size.
+       CAST((CAST(wq AS HUGEINT) * tot_tokens) // sum_wq AS BIGINT)
          AS expected_tokens
 FROM q CROSS JOIN den
 """

@@ -55,36 +55,44 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_stream_dedupe(spark, sf_dir)
 
 # name -> (spark function, oracle SQL or None for rows-only checks)
+#
+# ORDERING POLICY: the external correctness driver records at most the
+# FIRST 50 dict entries (CORRECTNESS_r03.json stopped at exactly 50 of
+# 62).  Entries are therefore ordered by evidence need, not by theme:
+# the similarity/ANN/search/multimodal family — which sat past the
+# window in rounds 2-3 and so never had a driver-green row — comes
+# first, and twelve relational/parsing entries with three rounds of
+# driver-green history (r1+r2+r3) are rotated to the tail.  Pure dict
+# reordering; no behavior change (VERDICT r3 "Next round" item #1).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
-    "q1_pricing_summary": (relational.q_pricing_summary, oracles.PRICING_SUMMARY),
-    "dedupe_anti_join": (relational.q_dedupe_anti_join, oracles.DEDUPE_ANTI_JOIN),
-    "dedupe_first_writer_wins": (
-        relational.q_dedupe_first_writer_wins,
-        oracles.DEDUPE_FIRST_WRITER_WINS,
+    # dedup sketches + similarity search — never driver-checked ops first
+    "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
+    # SemDeDup-shaped semantic dedup: IVF cell assign → within-cell
+    # lower-id cosine gate (per-cell pairs only, never all-pairs)
+    "semantic_dedup": (similarity.q_semantic_dedup, oracles.SEMANTIC_DEDUP),
+    # BM25 keyword top-k (fixed conjunctive query, TakeOrdered top-k)
+    "bm25_topk": (search.q_bm25_topk, oracles.BM25_TOPK_SQL),
+    "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
+    "phash_components": (
+        multimodal.q_phash_components,
+        oracles.PHASH_COMPONENTS,
     ),
-    "politeness_topk_per_host": (
-        relational.q_politeness_topk_per_host,
-        oracles.POLITENESS_TOPK,
+    "video_frame_sample": (
+        multimodal.q_video_frame_sample,
+        oracles.VIDEO_FRAME_SAMPLE,
     ),
-    "union_distinct": (relational.q_union_distinct, oracles.UNION_DISTINCT),
-    "metrics_rollup": (relational.q_metrics_rollup, oracles.METRICS_ROLLUP),
-    "broadcast_dim_join": (
-        relational.q_broadcast_dim_join,
-        oracles.BROADCAST_DIM_JOIN,
+    "audio_features": (multimodal.q_audio_features, oracles.AUDIO_FEATURES),
+    "simhash": (similarity.q_simhash, oracles.SIMHASH),
+    "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
+    "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
+    "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
+    # multimodal binary-column plumbing (golden VALUES oracle generated
+    # by the same pure-Python codec — checks the Spark plumbing e2e)
+    "image_meta_extract": (
+        multimodal.q_image_meta_extract,
+        oracles.IMAGE_META_EXTRACT,
     ),
-    "pagination_expand": (relational.q_pagination_expand, oracles.PAGINATION_EXPAND),
-    "sessionize": (relational.q_sessionize, oracles.SESSIONIZE),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
-    "extract_total_count": (
-        parsing.q_extract_total_count,
-        oracles.EXTRACT_TOTAL_COUNT,
-    ),
-    "date_parse_multiformat": (
-        parsing.q_date_parse_multiformat,
-        oracles.DATE_PARSE_MULTIFORMAT,
-    ),
-    "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
     "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
     "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
     # pagination URL construction + KV-record codec (B7/B8/B12)
@@ -194,32 +202,35 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_neardup_components,
         oracles.NEARDUP_COMPONENTS,
     ),
-    "simhash": (similarity.q_simhash, oracles.SIMHASH),
-    "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
-    "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
-    "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
-    "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
-    # SemDeDup-shaped semantic dedup: IVF cell assign → within-cell
-    # lower-id cosine gate (per-cell pairs only, never all-pairs)
-    "semantic_dedup": (similarity.q_semantic_dedup, oracles.SEMANTIC_DEDUP),
-    # BM25 keyword top-k (fixed conjunctive query, TakeOrdered top-k)
-    "bm25_topk": (search.q_bm25_topk, oracles.BM25_TOPK_SQL),
-    # multimodal binary-column plumbing (golden VALUES oracle generated
-    # by the same pure-Python codec — checks the Spark plumbing e2e)
-    "image_meta_extract": (
-        multimodal.q_image_meta_extract,
-        oracles.IMAGE_META_EXTRACT,
+    # ---- tail: three rounds of driver-green history (r1+r2+r3) ----
+    # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
+    "q1_pricing_summary": (relational.q_pricing_summary, oracles.PRICING_SUMMARY),
+    "dedupe_anti_join": (relational.q_dedupe_anti_join, oracles.DEDUPE_ANTI_JOIN),
+    "dedupe_first_writer_wins": (
+        relational.q_dedupe_first_writer_wins,
+        oracles.DEDUPE_FIRST_WRITER_WINS,
     ),
-    "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
-    "phash_components": (
-        multimodal.q_phash_components,
-        oracles.PHASH_COMPONENTS,
+    "politeness_topk_per_host": (
+        relational.q_politeness_topk_per_host,
+        oracles.POLITENESS_TOPK,
     ),
-    "video_frame_sample": (
-        multimodal.q_video_frame_sample,
-        oracles.VIDEO_FRAME_SAMPLE,
+    "union_distinct": (relational.q_union_distinct, oracles.UNION_DISTINCT),
+    "metrics_rollup": (relational.q_metrics_rollup, oracles.METRICS_ROLLUP),
+    "broadcast_dim_join": (
+        relational.q_broadcast_dim_join,
+        oracles.BROADCAST_DIM_JOIN,
     ),
-    "audio_features": (multimodal.q_audio_features, oracles.AUDIO_FEATURES),
+    "pagination_expand": (relational.q_pagination_expand, oracles.PAGINATION_EXPAND),
+    "sessionize": (relational.q_sessionize, oracles.SESSIONIZE),
+    "extract_total_count": (
+        parsing.q_extract_total_count,
+        oracles.EXTRACT_TOTAL_COUNT,
+    ),
+    "date_parse_multiformat": (
+        parsing.q_date_parse_multiformat,
+        oracles.DATE_PARSE_MULTIFORMAT,
+    ),
+    "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
 }
 
 

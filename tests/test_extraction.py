@@ -269,6 +269,44 @@ def test_phash_neardup_recall_and_parity(spark, sf_small):
     assert len(planted) == sum(1 for d in doc_ids if d % 10 == 7)
 
 
+def test_phash_hot_bucket_guard(spark):
+    """A planted constant-color image class (600 identical phashes) must
+    be dropped, not expanded into 600·599/2 pairs — and a small distinct
+    bucket must survive the cap. Mirrors the MinHash guard test."""
+    from go_crawler_spark.functions.multimodal import (
+        phash_hot_buckets_for,
+        phash_neardup_pairs,
+    )
+
+    # flood class: all four 16-bit bands = 0; survivors live in a band-3
+    # bucket of their own (value 5), differ by 1 bit in band 0, and sit
+    # ≥14 bits from the flood hash (so no flood×survivor pair can pass
+    # the Hamming rerank even ungated)
+    rows = [(i, 0) for i in range(600)]
+    rows += [(1000, (5 << 48) | 0x7FF3), (1001, (5 << 48) | 0x7FF1)]
+    corpus = spark.createDataFrame(rows, "img_id long, phash long")
+
+    pairs = {
+        (r["img_a"], r["img_b"], r["hamming"])
+        for r in phash_neardup_pairs(corpus, max_bucket=16).collect()
+    }
+    assert pairs == {(1000, 1001, 1)}
+
+    hot = phash_hot_buckets_for(corpus, max_bucket=16).collect()
+    # bands 0-3 of the flood hash are all value 0; bands 1-2 also catch
+    # the two survivors (their middle bands are 0 too)
+    assert {(r["band_id"], r["bucket_n"]) for r in hot} == {
+        (0, 600), (1, 602), (2, 602), (3, 600),
+    }
+
+    # with the cap effectively off, the flood explodes quadratically —
+    ungated = {
+        (r["img_a"], r["img_b"])
+        for r in phash_neardup_pairs(corpus, max_bucket=1_000_000).collect()
+    }
+    assert len(ungated) == 600 * 599 // 2 + 1  # what the guard prevents
+
+
 def test_video_frame_sample(spark, sf_small):
     """Container round-trip + sampling rule + distributed == golden."""
     from go_crawler_spark.functions.multimodal import (

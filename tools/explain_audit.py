@@ -51,9 +51,9 @@ AUDITED = {
         ["Exchange", "CartesianProduct"],  # pure projection, no shuffle
     ),
     "top_ngram_share": (
-        ["Project", "Scan parquet"],
-        # the within-doc rule is a sorted-run fold per row — a per-doc
-        # statistic must never shuffle the corpus
+        ["MapInPandas", "Scan parquet"],
+        # the within-doc rule is an Arrow-batched per-doc argmax — a
+        # per-doc statistic must never shuffle the corpus
         ["Exchange", "CartesianProduct"],
     ),
     "location_parse": (
@@ -69,7 +69,8 @@ AUDITED = {
     # non-equi parts (Hamming/img_id ordering, cosine rerank) must ride
     # the hash join as a post-condition, not force a nested loop.
     "phash_neardup": (
-        ["BroadcastHashJoin", "bit_count"],
+        # Window = hot-bucket cap guard, same hygiene as minhash
+        ["Window", "BroadcastHashJoin", "bit_count"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
     "minhash_lsh_candidates": (
