@@ -88,6 +88,19 @@ class CrawlConfig:
     # politeness-bounded); False → shuffle anti-join, for stress rounds
     # whose candidate set exceeds broadcast size (e.g. kernelbench)
     disallow: tuple[str, ...] = field(default=ROBOTS_DISALLOW)
+    allow: tuple[str, ...] = ()  # RFC 9309 Allow rules: the longest
+    # matching prefix wins between allow and disallow, ties to allow —
+    # an empty tuple reproduces pure-Disallow behavior exactly
+    user_agent: str = "pyspark-crawl-frontier/1.0"  # C9: the reference
+    # pins a custom UA + header map on its browser client
+    # (/root/reference/internal/infra/browser_client.go:57-60, header map
+    # at internal/config/crawler_config.go:36). Fetches here are a join
+    # against the corpus table, so the client identity is validated
+    # eagerly and recorded as run lineage (CrawlEngine.config_lineage)
+    # rather than sent over a wire.
+    headers: tuple[tuple[str, str], ...] = ()  # extra request headers
+    # as (name, value) pairs — a tuple-of-pairs so the frozen dataclass
+    # stays hashable
     order: str = "bfs"  # crawl ordering: "bfs" = (depth, seq_path) —
     # the reference's enumeration order; "priority" = priority desc
     # first (ties by depth, seq_path), priority being a deterministic
@@ -103,6 +116,16 @@ class CrawlConfig:
             raise ValueError("max_rounds must be >= 1")
         if self.bloom_shards < 1 or self.bloom_hashes < 1:
             raise ValueError("bloom params must be >= 1")
+        for rule in (*self.disallow, *self.allow):
+            if not rule.startswith("/"):
+                raise ValueError(
+                    f"robots rule {rule!r} must be a path starting with '/'"
+                )
+        if not self.user_agent or set(self.user_agent) & {"\r", "\n"}:
+            raise ValueError("user_agent must be non-empty without CR/LF")
+        for name, value in self.headers:
+            if not name or set(name + value) & {"\r", "\n"}:
+                raise ValueError(f"invalid header {name!r} (empty or CR/LF)")
 
     @staticmethod
     def priority_of(url_hash: int) -> float:

@@ -56,6 +56,7 @@ ROBOTS_SCHEMA = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), False),
+        T.StructField("allow", T.ArrayType(T.StringType()), False),
         T.StructField("crawl_delay", T.DoubleType(), False),
     ]
 )
@@ -197,11 +198,16 @@ def iter_rows(spec: CorpusSpec) -> Iterator[dict]:
         yield page_row_at(spec, k)
 
 
-def robots_rows(spec: CorpusSpec, disallow: tuple[str, ...]) -> list[dict]:
+def robots_rows(
+    spec: CorpusSpec,
+    disallow: tuple[str, ...],
+    allow: tuple[str, ...] = (),
+) -> list[dict]:
     return [
         {
             "host": spec.host(i),
             "disallow": list(disallow),
+            "allow": list(allow),
             "crawl_delay": spec.crawl_delay(i),
         }
         for i in range(spec.n_hosts)
@@ -246,6 +252,11 @@ def build_corpus(spark: SparkSession, spec: CorpusSpec) -> DataFrame:
 
 
 def build_robots(
-    spark: SparkSession, spec: CorpusSpec, disallow: tuple[str, ...]
+    spark: SparkSession,
+    spec: CorpusSpec,
+    disallow: tuple[str, ...],
+    allow: tuple[str, ...] = (),
 ) -> DataFrame:
-    return spark.createDataFrame(robots_rows(spec, disallow), schema=ROBOTS_SCHEMA)
+    return spark.createDataFrame(
+        robots_rows(spec, disallow, allow), schema=ROBOTS_SCHEMA
+    )

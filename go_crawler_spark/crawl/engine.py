@@ -222,6 +222,7 @@ class CrawlEngine:
             robots_df.select(
                 "host",
                 "disallow",
+                "allow",
                 F.greatest(
                     F.lit(1),
                     F.floor(F.lit(cfg.round_seconds) / F.col("crawl_delay")),
@@ -232,6 +233,30 @@ class CrawlEngine:
         # stays prunable until the verify stage (C8 — the Spark analog of
         # the reference's browser resource blocking)
         self.corpus = corpus_df
+
+    def config_lineage(self) -> DataFrame:
+        """One constant row of fetch-client lineage (C9): the custom
+        User-Agent and extra headers the reference pins on its browser
+        client (/root/reference/internal/infra/browser_client.go:57-60,
+        internal/config/crawler_config.go:36), plus the politeness knobs
+        that shaped this run. Joinable onto any run artifact for
+        provenance; fetches here are a corpus join, so nothing is sent
+        over a wire."""
+        import json
+
+        row = (
+            self.cfg.user_agent,
+            json.dumps(dict(self.cfg.headers), sort_keys=True),
+            float(self.cfg.round_seconds),
+            self.cfg.order,
+            ",".join(self.cfg.disallow),
+            ",".join(self.cfg.allow),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "user_agent string, headers_json string, round_seconds double,"
+            " order string, disallow string, allow string",
+        )
 
     # -- frontier bootstrap -------------------------------------------
 
@@ -264,9 +289,12 @@ class CrawlEngine:
         # default crawl-delay 1.0 — the SAME rule the simulator applies
         # (simulator.py: delays.get(host, 1.0) → cfg.budget), so corpora
         # whose robots table doesn't cover every host cannot diverge.
-        # robots_df's per-host disallow must equal cfg.disallow (corpus.
-        # build_robots guarantees it); the simulator uses the global set.
-        salted = pending.join(self.budgets.drop("disallow"), "host", "left").withColumn(
+        # robots_df's per-host disallow/allow must equal cfg.disallow /
+        # cfg.allow (corpus.build_robots guarantees it); the simulator
+        # uses the global sets.
+        salted = pending.join(
+            self.budgets.drop("disallow", "allow"), "host", "left"
+        ).withColumn(
             "budget", F.coalesce("budget", F.lit(self.cfg.budget(1.0)))
         ).withColumn(
             "salt", F.pmod(F.xxhash64("url_hash"), F.lit(self.cfg.host_salt_buckets))
@@ -354,12 +382,21 @@ class CrawlEngine:
         ).withColumn("path", F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit("/")))
 
         joined = canoned.join(self.budgets.drop("budget"), "host", "left")
-        is_disallowed = F.when(
+        # RFC 9309 precedence: longest matching prefix wins, Allow takes
+        # ties; hosts absent from robots_df (null rule arrays) → 0 vs 0
+        # → allowed. Same rule in the simulator (independent derivation).
+        from go_crawler_spark.functions.parsing import robots_longest_match
+
+        dis_len = F.when(
             F.col("disallow").isNotNull(),
-            F.exists("disallow", lambda d: F.col("path").startswith(d)),
-        ).otherwise(F.lit(False))
-        return joined.withColumn("robots_reject", is_disallowed).drop(
-            "disallow", "path"
+            robots_longest_match(F.col("disallow"), F.col("path")),
+        ).otherwise(F.lit(0))
+        alw_len = F.when(
+            F.col("allow").isNotNull(),
+            robots_longest_match(F.col("allow"), F.col("path")),
+        ).otherwise(F.lit(0))
+        return joined.withColumn("robots_reject", dis_len > alw_len).drop(
+            "disallow", "allow", "path"
         )
 
     def dedupe_new(

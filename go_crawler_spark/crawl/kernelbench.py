@@ -59,6 +59,7 @@ def synthetic_robots(spark: SparkSession, n_hosts: int) -> DataFrame:
         {
             "host": f"h{i:04d}.example.com",
             "disallow": ["/private"],
+            "allow": [],
             "crawl_delay": delays[i % 3],
         }
         for i in range(n_hosts)

@@ -126,7 +126,15 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
                 cu = canon_url(row["url"], href)
                 if cu is None:
                     continue
-                if any(path_of(cu).startswith(d) for d in cfg.disallow):
+                # RFC 9309: longest matching prefix wins, ties to Allow
+                p = path_of(cu)
+                dis = max(
+                    (len(d) for d in cfg.disallow if p.startswith(d)), default=0
+                )
+                alw = max(
+                    (len(a) for a in cfg.allow if p.startswith(a)), default=0
+                )
+                if dis > alw:
                     n_robots += 1
                     continue
                 discovered.append(

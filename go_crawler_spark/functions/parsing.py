@@ -359,12 +359,14 @@ _ROBOTS_STAR_BLOCK = r"(?s)User-agent:[ \t]*\*[ \t]*\n(.*?)(?:User-agent:|$)"
 
 def robots_cols(txt: Column, round_seconds: float) -> dict[str, Column]:
     """Parse a robots.txt body: the ``User-agent: *`` group's
-    Disallow paths (order of appearance), Crawl-delay (default 1.0),
-    and the derived per-round politeness budget
+    Disallow and Allow paths (order of appearance), Crawl-delay
+    (default 1.0), and the derived per-round politeness budget
     (max(1, floor(round_seconds / delay)) — CrawlConfig.budget).
     All Catalyst: one block extract + regexp_extract_all ladders."""
     block = F.regexp_extract(txt, _ROBOTS_STAR_BLOCK, 1)
     disallow = F.regexp_extract_all(block, F.lit(r"Disallow:[ \t]*(\S+)"), 1)
+    # capital A cannot match inside "Disallow:" (lowercase 'a' there)
+    allow = F.regexp_extract_all(block, F.lit(r"Allow:[ \t]*(\S+)"), 1)
     delay = F.coalesce(
         F.nullif(
             F.regexp_extract(block, r"Crawl-delay:[ \t]*([0-9.]+)", 1), F.lit("")
@@ -374,14 +376,44 @@ def robots_cols(txt: Column, round_seconds: float) -> dict[str, Column]:
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(round_seconds) / delay)
     ).cast("long")
-    return {"crawl_delay": delay, "disallow": disallow, "budget": budget}
+    return {
+        "crawl_delay": delay,
+        "disallow": disallow,
+        "allow": allow,
+        "budget": budget,
+    }
+
+
+def robots_longest_match(rules: Column, path: Column) -> Column:
+    """Length of the longest rule prefix in ``rules`` matching ``path``
+    (0 if none) — the RFC 9309 §2.2.2 specificity key."""
+    return F.aggregate(
+        F.filter(rules, lambda p: path.startswith(p)),
+        F.lit(0),
+        lambda acc, p: F.greatest(acc, F.length(p)),
+    )
+
+
+def robots_path_allowed(
+    path: Column, disallow: Column, allow: Column
+) -> Column:
+    """RFC 9309 precedence: the most specific (longest-prefix) matching
+    rule wins; a tie between an Allow and a Disallow of equal length
+    goes to Allow (least restrictive). No rule matching → allowed."""
+    return robots_longest_match(disallow, path) <= robots_longest_match(
+        allow, path
+    )
 
 
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt → per-host politeness config. Synthesizes a realistic
     robots body per supplier row (foreign-bot group first — which must
-    be IGNORED — then the * group with a keyed number of Disallow lines,
-    comments, and an optional Crawl-delay), then parses it back."""
+    be IGNORED — then the * group with a keyed number of Disallow,
+    Allow, comment, and optional Crawl-delay lines), then parses it
+    back. A probe path under /private exercises Allow precedence both
+    ways: rows with ``Allow: /private/job`` (k%5==0) readmit the probe
+    past the shorter ``Disallow: /private``, unless an even longer
+    exact Disallow (k%4==0) wins it back."""
     sup = load(spark, sf_dir, "supplier")
     k = F.col("s_suppkey")
     delay_line = F.when(
@@ -392,21 +424,37 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         k % 2 == 0, F.concat(F.lit("Disallow: /tmp/"), k.cast("string"),
                              F.lit("\n"))
     ).otherwise(F.lit(""))
+    allow_priv = F.when(
+        k % 5 == 0, F.lit("Allow: /private/job\n")
+    ).otherwise(F.lit(""))
+    probe_dis = F.when(
+        k % 4 == 0,
+        F.concat(F.lit("Disallow: /private/job/"), (k % 10).cast("string"),
+                 F.lit("\n")),
+    ).otherwise(F.lit(""))
     txt = F.concat(
         F.lit("# synthetic robots\nUser-agent: OtherBot\nDisallow: /\n\n"),
         F.lit("User-agent: *\n"),
         F.lit("Disallow: /private\n"),
         second_dis,
+        probe_dis,
         delay_line,
         F.lit("Allow: /public\n"),
+        allow_priv,
     )
     cols = robots_cols(F.col("robots_txt"), round_seconds=60.0)
+    probe = F.concat(F.lit("/private/job/"), (k % 10).cast("string"))
     return sup.select("s_suppkey", txt.alias("robots_txt")).select(
         "s_suppkey",
         "robots_txt",
         cols["crawl_delay"].alias("crawl_delay"),
         F.array_join(cols["disallow"], ",").alias("disallow_joined"),
+        F.array_join(cols["allow"], ",").alias("allow_joined"),
         cols["budget"].alias("budget"),
+        probe.alias("probe_path"),
+        robots_path_allowed(probe, cols["disallow"], cols["allow"]).alias(
+            "probe_allowed"
+        ),
     )
 
 

@@ -901,19 +901,41 @@ WITH rendered AS (
          || CASE WHEN s_suppkey % 2 = 0
                  THEN 'Disallow: /tmp/' || CAST(s_suppkey AS VARCHAR) || chr(10)
                  ELSE '' END
+         || CASE WHEN s_suppkey % 4 = 0
+                 THEN 'Disallow: /private/job/' || CAST(s_suppkey % 10 AS VARCHAR)
+                      || chr(10)
+                 ELSE '' END
          || CASE WHEN s_suppkey % 3 = 0
                  THEN 'Crawl-delay: ' || CAST(s_suppkey % 9 + 1 AS VARCHAR) || chr(10)
                  ELSE '' END
-         || 'Allow: /public' || chr(10) AS robots_txt
+         || 'Allow: /public' || chr(10)
+         || CASE WHEN s_suppkey % 5 = 0
+                 THEN 'Allow: /private/job' || chr(10)
+                 ELSE '' END AS robots_txt
   FROM supplier),
 parsed AS (
-  SELECT s_suppkey, robots_txt, {_ROBOTS_BLK} AS blk FROM rendered)
+  SELECT s_suppkey, robots_txt, {_ROBOTS_BLK} AS blk,
+         '/private/job/' || CAST(s_suppkey % 10 AS VARCHAR) AS probe_path
+  FROM rendered),
+matched AS (
+  SELECT *,
+         regexp_extract_all(blk, 'Disallow:[ \\t]*(\\S+)', 1) AS dis_rules,
+         regexp_extract_all(blk, 'Allow:[ \\t]*(\\S+)', 1) AS alw_rules
+  FROM parsed)
 SELECT s_suppkey, robots_txt,
        {_ROBOTS_DELAY} AS crawl_delay,
-       array_to_string(regexp_extract_all(blk, 'Disallow:[ \\t]*(\\S+)', 1), ',')
-         AS disallow_joined,
-       CAST(greatest(1, floor(60.0 / {_ROBOTS_DELAY})) AS BIGINT) AS budget
-FROM parsed
+       array_to_string(dis_rules, ',') AS disallow_joined,
+       array_to_string(alw_rules, ',') AS allow_joined,
+       CAST(greatest(1, floor(60.0 / {_ROBOTS_DELAY})) AS BIGINT) AS budget,
+       probe_path,
+       -- RFC 9309 longest-match precedence, ties to Allow
+       COALESCE(list_max(list_transform(
+           list_filter(dis_rules, d -> starts_with(probe_path, d)),
+           d -> len(d))), 0)
+       <= COALESCE(list_max(list_transform(
+           list_filter(alw_rules, a -> starts_with(probe_path, a)),
+           a -> len(a))), 0) AS probe_allowed
+FROM matched
 """
 
 JSON_CODEC = """

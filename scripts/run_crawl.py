@@ -53,7 +53,7 @@ def main() -> None:
             details_per_page=max(4, int(32 * s)),
         )
         corpus_df = cm.build_corpus(spark, spec)
-        robots_df = cm.build_robots(spark, spec, cfg.disallow)
+        robots_df = cm.build_robots(spark, spec, cfg.disallow, cfg.allow)
         seeds = cm.seeds(spec)
     elif args.corpus and args.robots:
         corpus_df = spark.read.parquet(args.corpus)

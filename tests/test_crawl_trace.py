@@ -139,6 +139,43 @@ def test_second_scenario_trace_and_seen(spark):
     assert [vars(m) for m in res.metrics] == golden.metrics
 
 
+def test_allow_precedence_trace_and_seen(spark):
+    """RFC 9309 Allow precedence end-to-end: ``Allow: /private/job``
+    out-lengths the base ``Disallow: /private``, readmitting the URL
+    class every earlier scenario rejected. The engine's longest-match
+    Catalyst rule and the simulator's independently-derived max() rule
+    must produce the identical trace — including the new FAILED rows
+    (the corpus has no page for /private/job URLs) and zeroed
+    robots_skipped counters."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG2, allow=("/private/job",))
+    base = simulate(SPEC2, CFG2)
+    golden = simulate(SPEC2, cfg)
+    # Allow actually changes the answer: rejected → crawled
+    assert sum(m["robots_skipped"] for m in base.metrics) > 0
+    assert sum(m["robots_skipped"] for m in golden.metrics) == 0
+    assert golden.seen > base.seen  # strict superset: new URLs surface
+
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        corpus.build_corpus(spark, SPEC2),
+        corpus.build_robots(spark, SPEC2, cfg.disallow, cfg.allow),
+    )
+    res = eng.run(spec=SPEC2, with_payload_verify=False)
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in res.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    expect = [(rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace]
+    assert got == expect
+    seen = {r["url"] for r in res.frontier.select("url").collect()}
+    assert seen == golden.seen
+    assert [vars(m) for m in res.metrics] == golden.metrics
+
+
 def test_shuffle_fetch_strategy_same_results(spark):
     """broadcast_fetch=False (AQE shuffle join) is a physical-plan
     choice only — trace and seen set must be identical."""
@@ -268,3 +305,36 @@ def test_config_eager_validation():
         CrawlConfig(order="dfs")
     with _pytest.raises(ValueError):
         CrawlConfig(bloom_shards=0)
+    with _pytest.raises(ValueError):
+        CrawlConfig(disallow=("private",))  # must start with '/'
+    with _pytest.raises(ValueError):
+        CrawlConfig(allow=("job",))
+    with _pytest.raises(ValueError):
+        CrawlConfig(user_agent="")
+    with _pytest.raises(ValueError):
+        CrawlConfig(user_agent="bot\r\nX-Injected: 1")
+    with _pytest.raises(ValueError):
+        CrawlConfig(headers=(("", "v"),))
+    with _pytest.raises(ValueError):
+        CrawlConfig(headers=(("X-Ok", "a\nb"),))
+
+
+def test_config_lineage_row(spark):
+    """C9 sliver: the custom UA + header map (browser_client.go:57-60,
+    crawler_config.go:36) surface as a one-row lineage frame."""
+    cfg = CrawlConfig(
+        user_agent="jobbot/2.1",
+        headers=(("Accept-Language", "ja"), ("X-Client", "graft")),
+    )
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        corpus.build_corpus(spark, SPEC),
+        corpus.build_robots(spark, SPEC, cfg.disallow, cfg.allow),
+    )
+    row = eng.config_lineage().collect()[0]
+    assert row["user_agent"] == "jobbot/2.1"
+    assert row["headers_json"] == (
+        '{"Accept-Language": "ja", "X-Client": "graft"}'
+    )
+    assert row["order"] == "bfs" and row["disallow"] == "/private"

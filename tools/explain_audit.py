@@ -237,7 +237,7 @@ def audit_engine_round() -> int:
                       details_per_page=6)
     cfg = CrawlConfig(round_seconds=60.0, per_page=6, max_rounds=4)
     corpus_df = corpus_mod.build_corpus(spark, spec)
-    robots_df = corpus_mod.build_robots(spark, spec, cfg.disallow)
+    robots_df = corpus_mod.build_robots(spark, spec, cfg.disallow, cfg.allow)
     eng = CrawlEngine(spark, cfg, corpus_df, robots_df)
     pending = eng.frontier_from_seeds(corpus_mod.seeds(spec))
     seen_hashes = pending.select("url_hash")
