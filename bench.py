@@ -39,17 +39,33 @@ def warmup(spark, sf_dir: str) -> None:
     ).write.format("noop").mode("overwrite").save()
 
 
-def run_registry_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+# Queries slower than this get a second run (best-of-2, both published):
+# this host's single-run times swing ±50-100% under episodic hypervisor
+# fault storms (BENCH.md §1), so one sample cannot attribute a
+# regression exactly where regressions would matter most.
+HEAVY_RERUN_SEC = 3.0
+
+
+def run_registry_queries(
+    spark, sf_dir: str, names: list[str]
+) -> tuple[dict[str, float], dict[str, list[float]]]:
     from go_crawler_spark.registry import REGISTRY
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
-    return timings
+        ts: list[float] = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            ts.append(round(time.time() - t0, 3))
+            if ts[0] <= HEAVY_RERUN_SEC:
+                break
+        timings[name] = min(ts)
+        runs[name] = ts
+        print(f"  {name}: {ts}s", file=sys.stderr)
+    return timings, runs
 
 
 def run_crawl_e2e(spark, scale: float) -> dict:
@@ -140,10 +156,12 @@ def main() -> None:
         "source_mix_weights",  # temperature-resampled data mix
         "url_blocklist_filter",  # broadcast rule gate on the frontier
         "minhash_jaccard_estimate",  # sketch-accuracy audit
+        "asof_join",  # point-in-time join (union-window composition)
+        "range_join",  # bounded-interval join (bucket binning)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)
-    queries = run_registry_queries(spark, sf_dir, headline)
+    queries, query_runs = run_registry_queries(spark, sf_dir, headline)
 
     from go_crawler_spark.crawl.kernelbench import run_kernel
 
@@ -172,6 +190,9 @@ def main() -> None:
                 "value": kernel["urls_per_sec"],
                 "unit": "sec",
                 "queries": queries,
+                "query_runs": {
+                    k: v for k, v in query_runs.items() if len(v) > 1
+                },
                 "sf": sf,
                 "total_sec": total,
                 "crawl_round_kernel": kernel,

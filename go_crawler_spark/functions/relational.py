@@ -215,3 +215,115 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("sess_id") + 1).cast("long").alias("n_sessions"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each click event picks the most
+    recent view event of the same user at-or-before its timestamp.
+
+    Spark has no ASOF JOIN operator; the scale-correct composition is
+    the union-window form: both sides ride ONE shuffle on user_id and
+    an ordered running last_value('view', ignorenulls) carries the
+    match forward to every click — never a range join, never a per-key
+    collect, never all-pairs. At 100 TB this is one Exchange + one
+    window (the plan sessionize already rides). DuckDB's native
+    ASOF LEFT JOIN derives the oracle answer independently. All
+    timestamps travel as integer epoch-micros, so there is no float or
+    interval arithmetic to disagree on. Equal-timestamp view/click
+    ties would be ordered views-first to match ASOF's >= semantics;
+    the event stream has strictly increasing per-user timestamps, so
+    the tie-break is latent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch parity
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", F.col("event_type").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    view_id = F.last(
+        F.when(is_view, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    view_us = F.last(F.when(is_view, F.col("ts_us")), ignorenulls=True).over(w)
+    return (
+        base.withColumn("asof_view_id", view_id)
+        .withColumn("lag_us", F.col("ts_us") - view_us)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            "ts_us",
+            "asof_view_id",
+            "lag_us",
+        )
+    )
+
+
+RANGE_BUCKET_US = 600_000_000  # 10 min — also the max incident length
+
+
+def _bucket_of(c: "F.Column") -> "F.Column":
+    """Exact integer floor(c / RANGE_BUCKET_US) for non-negative longs:
+    the numerator (c − c%B) is an exact multiple ≤ 2^53, so the double
+    division is exact (same trick as textstats._floordiv)."""
+    return ((c - c % RANGE_BUCKET_US) / RANGE_BUCKET_US).cast("long")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment (range) join: every click attributed to
+    each error-incident window [err_ts, err_ts + (err_id%10+1) min)
+    that contains it.
+
+    Spark plans a naive theta join as BroadcastNestedLoop — O(n·m) and
+    forbidden here. The scale path is coarse time-bucket binning:
+    window length is bounded by one bucket width (10 min), so each
+    window explodes to ≤ 2 bucket keys, each click maps to exactly
+    one, and the join becomes a bucket equi-join with the residual
+    containment predicate riding it — shuffle cardinality stays
+    O(rows), not O(pairs). The DuckDB oracle is the plain inequality
+    join over the same integer-micros columns."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch parity
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    wins = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + (F.col("event_id") % 10 + 1) * 60_000_000).alias(
+            "end_us"
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("us").alias("click_us")
+    )
+    wbuck = wins.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                _bucket_of(F.col("start_us")), _bucket_of(F.col("end_us") - 1)
+            )
+        ),
+    )
+    cbuck = clicks.withColumn("bucket", _bucket_of(F.col("click_us")))
+    return (
+        cbuck.join(wbuck, "bucket")
+        .filter(
+            (F.col("click_us") >= F.col("start_us"))
+            & (F.col("click_us") < F.col("end_us"))
+        )
+        .select(
+            "win_id",
+            "click_id",
+            (F.col("click_us") - F.col("start_us")).alias("offset_us"),
+        )
+    )

@@ -421,11 +421,15 @@ def neardup_keyed(corpus: DataFrame) -> DataFrame:
     Arrow kernel, not Catalyst: the signature is a 128×64 projection per
     row, which as an expression tree is thousands of interpreted
     higher-order folds (measured ~100× slower than BLAS at sf0.01).
-    numpy computes products then a per-row ``cumsum`` along the dim
-    axis, whose last element IS the left-fold sum — bit-identical to
-    the SQL oracle's list_reduce, so sign parity is exact, not
-    approximate. This is the north rule's sanctioned shape: vectorized
-    pandas/Arrow UDF, no per-row Python."""
+    The dots accumulate dim-by-dim into an (n, planes) buffer —
+    arithmetically the SAME left-fold order as the SQL oracle's
+    list_reduce (acc += v[d]·w[d] in d order), so sign parity is exact,
+    not approximate; matmul would reorder the sum and is NOT safe here.
+    The r3 form materialized the full (n, planes, dim) product tensor
+    plus a same-size cumsum (~1 GB of fresh pages per 8192-row batch on
+    a bandwidth-limited host); the fold buffer is ~8 MB and stays
+    cache-resident. This is the north rule's sanctioned shape:
+    vectorized pandas/Arrow UDF, no per-row Python."""
     import numpy as np
 
     n_planes = NEARDUP_TABLES * NEARDUP_BITS
@@ -441,9 +445,9 @@ def neardup_keyed(corpus: DataFrame) -> DataFrame:
             v = np.stack(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )  # (n, dim)
-            # products (n, planes, dim) → sequential prefix sum along dim:
-            # cumsum[..., -1] equals the left-fold the oracle computes
-            dots = np.cumsum(v[:, None, :] * w[None, :, :], axis=2)[:, :, -1]
+            dots = np.zeros((len(v), n_planes), dtype=np.float64)
+            for d in range(v.shape[1]):  # left-fold along dim: exact
+                dots += v[:, d, None] * w[None, :, d]
             signs = (dots >= 0).astype(np.int64)  # (n, planes)
             per_table = signs.reshape(len(v), NEARDUP_TABLES, NEARDUP_BITS)
             bucket = (per_table * powers).sum(axis=2)  # (n, tables)

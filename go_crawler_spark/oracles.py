@@ -166,6 +166,44 @@ FROM sess
 GROUP BY user_id
 """
 
+# Mirrors relational.q_asof_join — DuckDB's NATIVE ASOF LEFT JOIN is the
+# independent derivation of the Spark union-window composition.
+ASOF_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events),
+clicks AS (
+  SELECT event_id AS click_id, user_id, us AS ts_us
+  FROM ev WHERE event_type = 'click'),
+views AS (
+  SELECT event_id AS view_id, user_id, us FROM ev WHERE event_type = 'view')
+SELECT c.click_id, c.user_id, c.ts_us,
+       v.view_id                        AS asof_view_id,
+       CAST(c.ts_us - v.us AS BIGINT)   AS lag_us
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts_us >= v.us
+"""
+
+# Mirrors relational.q_range_join — the oracle is the plain inequality
+# join (fine at oracle scale; the Spark side must NOT plan this shape).
+RANGE_JOIN = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events),
+wins AS (
+  SELECT event_id AS win_id, us AS start_us,
+         us + (event_id % 10 + 1) * 60000000 AS end_us
+  FROM ev WHERE event_type = 'error'),
+clicks AS (
+  SELECT event_id AS click_id, us AS click_us
+  FROM ev WHERE event_type = 'click')
+SELECT w.win_id, c.click_id,
+       CAST(c.click_us - w.start_us AS BIGINT) AS offset_us
+FROM clicks c JOIN wins w
+  ON c.click_us >= w.start_us AND c.click_us < w.end_us
+"""
+
 # --- parsing family ----------------------------------------------------------
 
 EXTRACT_TOTAL_COUNT = """

@@ -92,9 +92,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_image_meta_extract,
         oracles.IMAGE_META_EXTRACT,
     ),
+    # point-in-time and interval joins (custom operators Spark lacks:
+    # as-of = union-window composition, range = bounded bucket binning)
+    "asof_join": (relational.q_asof_join, oracles.ASOF_JOIN),
+    "range_join": (relational.q_range_join, oracles.RANGE_JOIN),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
-    "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
-    "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (
         parsing.q_paginated_url_modes,
@@ -231,6 +233,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles.DATE_PARSE_MULTIFORMAT,
     ),
     "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
+    "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
+    "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
 }
 
 

@@ -205,3 +205,62 @@ def test_top_ngram_share_matches_bruteforce(spark, sf_small):
         ) == expected[r["doc_id"]], r["doc_id"]
     # non-degenerate: the corpus's small vocabulary repeats bigrams
     assert any(r["top_count"] >= 2 for r in rows)
+
+
+def test_asof_join_matches_bruteforce(spark, sf_small):
+    """The union-window as-of composition must equal the literal
+    definition: for each click, the view of the same user with the
+    largest ts <= click ts (None when no prior view)."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.relational import q_asof_join
+
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    # epoch micros per value, exactly as unix_micros computes them
+    # (explicit [us] cast: pandas 2.x already keeps parquet micros)
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    views = ev[ev.event_type == "view"]
+    expected = {}
+    for r in ev[ev.event_type == "click"].itertuples():
+        prior = views[(views.user_id == r.user_id) & (views.us <= r.us)]
+        if len(prior):
+            best = prior.loc[prior.us.idxmax()]
+            expected[r.event_id] = (int(best.event_id), r.us - int(best.us))
+        else:
+            expected[r.event_id] = (None, None)
+
+    rows = q_asof_join(spark, sf_small).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (r["asof_view_id"], r["lag_us"]) == expected[r["click_id"]], (
+            r["click_id"]
+        )
+    assert any(r["asof_view_id"] is not None for r in rows)
+
+
+def test_range_join_matches_bruteforce(spark, sf_small):
+    """Bucket-binned interval join == the literal O(n*m) containment
+    scan, including windows long enough to straddle a bucket boundary."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.relational import q_range_join
+
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")  # micros
+    errors = ev[ev.event_type == "error"]
+    clicks = ev[ev.event_type == "click"]
+    expected = set()
+    for w in errors.itertuples():
+        end = w.us + (w.event_id % 10 + 1) * 60_000_000
+        for c in clicks.itertuples():
+            if w.us <= c.us < end:
+                expected.add((w.event_id, c.event_id, c.us - w.us))
+
+    got = {
+        (r["win_id"], r["click_id"], r["offset_us"])
+        for r in q_range_join(spark, sf_small).collect()
+    }
+    assert got == expected
+    assert expected, "scenario must produce at least one contained click"

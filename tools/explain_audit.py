@@ -60,6 +60,19 @@ AUDITED = {
         ["BroadcastNestedLoopJoin"],  # contains-join vs 47-row dim: expected
         ["CartesianProduct"],
     ),
+    "asof_join": (
+        # the union-window as-of composition: ONE shuffle + window, and
+        # no join operator of any kind may appear
+        ["Window", "Exchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "BroadcastHashJoin", "ShuffledHashJoin"],
+    ),
+    "range_join": (
+        # bounded-interval binning: the containment predicate must ride
+        # a bucket equi-join, never a nested-loop theta join
+        ["Join"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     "metrics_rollup": (
         ["HashAggregate"],
         ["CartesianProduct"],
