@@ -22,6 +22,8 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 20480,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard conf.
 
@@ -29,9 +31,21 @@ def get_spark(
     core count so small-scale shuffles don't fragment into 200 empty
     tasks; on a real cluster this is overridden to ~2-3× total cores via
     ``extra_conf`` (AQE coalescing then trims empties at runtime).
+
+    ``executors=N`` switches to ``local-cluster[N, cpus-per-exec, mem]``:
+    N separate executor JVMs with per-executor heaps and block managers
+    — the closest in-sandbox stand-in for a multi-executor fleet (each
+    executor gets its own GC, parquet readers, and checkpoint storage,
+    removing the two single-heap artifacts BENCH.md §2a documents).
+    Executor python workers import the package via executorEnv
+    PYTHONPATH, exactly how ``spark-submit --py-files`` ships it.
     """
     cores = cpus or os.cpu_count() or 8
-    master = f"local[{cpus}]" if cpus else "local[*]"
+    if executors:
+        per_exec = max(1, cores // executors)
+        master = f"local-cluster[{executors},{per_exec},{executor_mem_mb}]"
+    else:
+        master = f"local[{cpus}]" if cpus else "local[*]"
     sp = shuffle_partitions or cores
 
     builder = (
@@ -51,6 +65,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if executors:
+        import sys
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            # executor heap must fit inside the local-cluster worker mem
+            builder.config("spark.executor.memory", f"{executor_mem_mb - 1024}m")
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            # executor python workers must be the same interpreter as the
+            # driver (the default bare "python3" may resolve differently)
+            .config("spark.pyspark.python", sys.executable)
+            # driver in local-cluster mode only coordinates — the 16g/48g
+            # heaps local mode needs (it hosts every block) are wasted here
+            .config("spark.driver.memory",
+                    os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        )
     if os.environ.get("SPARK_GRAFT_PRETOUCH"):
         # Fault the whole heap in at JVM start (-Xms=-Xmx + AlwaysPreTouch).
         # On virtualized hosts the first touch of each fresh heap page can

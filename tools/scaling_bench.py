@@ -39,19 +39,23 @@ sys.path.insert(0, {repo!r})
 from go_crawler_spark.session import get_spark
 from go_crawler_spark.crawl.kernelbench import run_fetch_round
 spark = get_spark("scaling_bench", cpus={cpus}, shuffle_partitions={cpus},
+                  executors={executors},
                   extra_conf={{"spark.sql.execution.arrow.maxRecordsPerBatch": "512"}})
 r = run_fetch_round(spark, n_hosts=48, details_per_host={n_rows} // 48,
                     corpus_path={path!r}, img_scale=4)
 r["cpus"] = {cpus}
+r["executors"] = {executors}
 print("SCALING_RESULT " + json.dumps(r))
 """
 
 
-def _run_child(code: str, marker: str) -> dict | None:
+def _run_child(code: str, marker: str, env_over: dict[str, str] | None = None) -> dict | None:
     env = dict(os.environ)
     # payload corpora checkpoint several GB into the block manager; a
     # 16g heap GC-thrashes and poisons the timing — size it generously
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    if env_over:
+        env.update(env_over)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -72,9 +76,20 @@ def generate_corpus(n_rows: int, path: str) -> None:
     _run_child(GEN.format(repo=REPO, dpp=dpp, path=path), "GEN_DONE")
 
 
-def run_at(cpus: int, n_rows: int, path: str) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_rows=n_rows, path=path)
-    return _run_child(code, "SCALING_RESULT ")
+def run_at(cpus: int, n_rows: int, path: str, local_cluster: bool = False) -> dict:
+    code = CHILD.format(
+        repo=REPO,
+        cpus=cpus,
+        n_rows=n_rows,
+        path=path,
+        # local-cluster[N,1,20g]: N single-core executor JVMs — per-executor
+        # heaps/block managers/GC, the in-sandbox stand-in for N executors
+        executors=cpus if local_cluster else None,
+    )
+    # local-cluster: blocks live on the executors, so the coordinating
+    # driver does NOT need the 48g heap the single-JVM local mode does
+    env_over = {"SPARK_GRAFT_DRIVER_MEM": "8g"} if local_cluster else None
+    return _run_child(code, "SCALING_RESULT ", env_over=env_over)
 
 
 def main() -> None:
@@ -96,6 +111,15 @@ def main() -> None:
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "2,8,32").split(",")
     )
+    # SPARK_GRAFT_SCALING_MODE=local-cluster runs each level as N separate
+    # single-core executor JVMs (local-cluster[N,1,20g]) instead of N
+    # threads in one JVM — per-executor heaps remove the two single-heap
+    # artifacts BENCH.md §2a names (32-way parquet reader collapse,
+    # shared-heap GC-thrash), which is exactly the isolation a real
+    # executor fleet has.
+    local_cluster = (
+        os.environ.get("SPARK_GRAFT_SCALING_MODE", "local") == "local-cluster"
+    )
     import tempfile
 
     existing = os.environ.get("SPARK_GRAFT_SCALING_CORPUS")
@@ -112,12 +136,13 @@ def main() -> None:
     # apart), so consecutive same-level runs would let slow drift land
     # entirely on one level; interleaving spreads it across all three.
     # Best-of-N per level isolates the steady state.
+    label = "local-cluster" if local_cluster else "local"
     raw: dict[int, list[dict]] = {c: [] for c in levels}
     for i in range(3):
         for cpus in levels:
-            r = run_at(cpus, n_rows, path)
+            r = run_at(cpus, n_rows, path, local_cluster=local_cluster)
             raw[cpus].append(r)
-            print(f"  round {i} local[{cpus}]: {r['elapsed_sec']}s",
+            print(f"  round {i} {label}[{cpus}]: {r['elapsed_sec']}s",
                   file=sys.stderr)
     results = {
         cpus: min(runs, key=lambda r: r["elapsed_sec"])
@@ -125,13 +150,14 @@ def main() -> None:
     }
     for cpus, best in results.items():
         print(
-            f"  local[{cpus}]: {best['urls_per_sec']} urls/sec "
+            f"  {label}[{cpus}]: {best['urls_per_sec']} urls/sec "
             f"({[r['elapsed_sec'] for r in raw[cpus]]}s, best kept)",
             file=sys.stderr,
         )
     result = {
         "n_rows": n_rows,
-        "runs": {f"local{c}": r for c, r in results.items()},
+        "mode": label,
+        "runs": {f"{label}{c}": r for c, r in results.items()},
     }
     if 2 in results and 8 in results:
         eff_2_8 = results[8]["urls_per_sec"] / (4.0 * results[2]["urls_per_sec"])
