@@ -158,6 +158,11 @@ def main() -> None:
         "minhash_jaccard_estimate",  # sketch-accuracy audit
         "asof_join",  # point-in-time join (union-window composition)
         "range_join",  # bounded-interval join (bucket binning)
+        "link_pagerank",  # iterative frontier-priority PageRank
+        "multires_rollup",  # cascading minute→hour→day rollup
+        "tile_partial_dup",  # quadrant-hash partial-dup image pairs
+        "hll_distinct",  # HyperLogLog distinct sketch (256 registers)
+        "cdc_chunk_dedup",  # content-defined-chunking storage dedup
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

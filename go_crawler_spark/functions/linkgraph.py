@@ -1,0 +1,131 @@
+"""Link-graph operators: PageRank frontier prioritization.
+
+The reference crawls breadth-first with a per-host budget and a static
+priority column (SURVEY.md §2 F3-F4; /root/reference/internal/usecase/
+crawler.go dequeue loop); a web-scale frontier ranks its pending URLs
+by link authority instead. PageRank is the canonical such score, and
+the canonical *iterative* Spark workload: each Lloyd-style round is
+
+    ranks ⋈ edges (shuffle keyed by src) → contrib per edge →
+    groupBy dst (one aggregation shuffle) → damped update vs all nodes
+
+so a 10^10-edge graph iterates in O(iters) shuffle rounds with rank
+state one long per node — never driver-side, never all-pairs. The
+link graph here is synthesized deterministically from ``documents``
+(every node emits PR_FANOUT pseudo-random out-links via an LCG both
+engines compute exactly), standing in for the crawl's discovered-edge
+table; the operator body is source-agnostic.
+
+Determinism for the oracle (the driver hash-compares values): ranks
+are integer mass units (PR_SCALE per node at t=0); the out-degree
+split and the 0.85 damping both go through exact wide floor-division
+(DECIMAL(38,0) on the Spark side, HUGEINT ``//`` in DuckDB), so both
+engines produce bit-identical longs in any aggregation order, at any
+corpus size — no double ever carries a value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.textstats import _mul_floordiv_wide
+from go_crawler_spark.tables import load
+
+PR_FANOUT = 4  # out-link candidates per node (pre-distinct)
+PR_ITERS = 3  # fixed unrolled iterations (oracle mirrors each level)
+PR_SCALE = 1_000_000_000  # integer mass units per node at t=0
+# teleport share = 15% of PR_SCALE, exactly representable as a long
+PR_TELEPORT = 150_000_000
+# MINSTD-family LCG for the synthetic out-links — engine-agnostic
+# integer math (same discipline as textstats' train-mix MINSTD gate)
+PR_LCG_A = 48271
+PR_LCG_K = 11
+PR_LCG_C = 7
+
+
+def _wide_floordiv(a: Column, b: Column) -> Column:
+    """floor(a/b) for non-negative longs with a possibly above 2^53
+    (rank mass concentrates: a single hub's rank is bounded only by
+    total graph mass ≈ N·PR_SCALE). Same DECIMAL(38,0) discipline as
+    textstats._mul_floordiv_wide; DuckDB mirrors with HUGEINT //."""
+    return _mul_floordiv_wide(a, F.lit(1).cast("long"), b)
+
+
+def link_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic (src, dst) out-link table over the doc-id node set:
+    dst_k = (src·A + k·K + C) mod N for k < PR_FANOUT, self-loops
+    remapped to the next node, duplicates collapsed. N rides a
+    broadcast one-row count — no driver collect."""
+    n_row = docs.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    cand = (
+        docs.select(F.col("doc_id").alias("src"))
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "src",
+            "n_nodes",
+            F.explode(F.sequence(F.lit(0), F.lit(PR_FANOUT - 1))).alias("k"),
+        )
+        .select(
+            "src",
+            "n_nodes",
+            (
+                (F.col("src") * PR_LCG_A + F.col("k") * PR_LCG_K + PR_LCG_C)
+                % F.col("n_nodes")
+            ).alias("dst0"),
+        )
+    )
+    return cand.select(
+        "src",
+        F.when(
+            F.col("dst0") == F.col("src"), (F.col("dst0") + 1) % F.col("n_nodes")
+        )
+        .otherwise(F.col("dst0"))
+        .alias("dst"),
+    ).distinct()
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(doc_id, outdeg, pr) after ``iters`` damped integer PageRank
+    rounds. nodes: (doc_id); edges: (src, dst), every node a src.
+
+    Per round: contrib(u→v) = floor(pr(u)/outdeg(u)); pr'(v) =
+    PR_TELEPORT + floor(85·Σcontrib / 100). Nodes with no in-links
+    decay to the teleport floor via the left join. The edges⋈outdeg
+    side is invariant across rounds, so it is computed once and
+    localCheckpointed — each round then costs exactly two shuffles
+    (attach ranks by src, aggregate by dst)."""
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    edeg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    ranks = nodes.select("doc_id", F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(iters):
+        contrib = edeg.join(
+            ranks.select(F.col("doc_id").alias("src"), "pr"), "src"
+        ).select("dst", _wide_floordiv(F.col("pr"), F.col("outdeg")).alias("c"))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(PR_TELEPORT).cast("long")
+                    + _mul_floordiv_wide(
+                        F.coalesce(F.col("s"), F.lit(0).cast("long")),
+                        F.lit(85).cast("long"),
+                        F.lit(100).cast("long"),
+                    )
+                ).alias("pr"),
+            )
+        )
+    return ranks.join(
+        outdeg.withColumnRenamed("src", "doc_id"), "doc_id"
+    ).select("doc_id", "outdeg", "pr")
+
+
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank frontier priority over the synthesized doc link graph:
+    (doc_id, outdeg, pr) after PR_ITERS integer-exact damped rounds.
+    The pr column is what a frontier dequeue would ORDER BY (F3's
+    priority analog at web scale)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return pagerank(docs, link_edges(docs))

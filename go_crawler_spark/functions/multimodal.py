@@ -573,6 +573,307 @@ def q_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tile-hash partial-duplicate detection -----------------------------------
+# Whole-image phash catches re-encodes and small edits (Hamming ≤ 8);
+# it MISSES the partial-duplicate class — the same photo with a large
+# overlay (logo, caption bar, watermark panel) flips far more than 8
+# bits. Tiling the image into a 2×2 grid and hashing each quadrant
+# independently localizes the edit: the overlay destroys one tile's
+# hash and leaves the other three bit-identical, so an equi-join on
+# (tile_id, tile_phash) with a ≥2-matching-tiles gate recovers the
+# pair. Same scale shape as every sketch join here: 4 long-typed rows
+# per image, bucket equi-join with a hot-bucket cap (a flat-color
+# image class floods one tile hash), never pixels, never all-pairs.
+
+TILE_N_DOCS = 300  # deterministic subset: doc_id < 300
+TILE_VARIANT_OFFSET = 200_000  # planted partial-dup img_id = doc_id + offset
+TILE_GRID = 2  # 2×2 quadrants
+TILE_MIN_MATCH = 2  # pair iff ≥2 of 4 tiles hash-identical
+TILE_MAX_BUCKET = 512  # same hot-bucket hygiene as PHASH_MAX_BUCKET
+
+
+def tile_hashes(px: np.ndarray) -> list[tuple[int, int]]:
+    """(tile_id, phash64(tile)) for the TILE_GRID×TILE_GRID grid."""
+    h, w = px.shape[:2]
+    out = []
+    for r in range(TILE_GRID):
+        for c in range(TILE_GRID):
+            tile = px[
+                r * h // TILE_GRID : (r + 1) * h // TILE_GRID,
+                c * w // TILE_GRID : (c + 1) * w // TILE_GRID,
+            ]
+            out.append((r * TILE_GRID + c, codec.phash64(tile)))
+    return out
+
+
+def _tile_rows(doc_ids) -> list[dict]:
+    """Deterministic (img_id, tile_id, tile_phash) corpus: one base
+    image per doc, plus a large-overlay partial-dup for doc_id % 10 ==
+    4 (top-left quadrant replaced by unrelated noise — the watermark/
+    caption-panel class whole-image phash cannot catch)."""
+    rows = []
+    for did in doc_ids:
+        did = int(did)
+        px = _phash_pixels(did)
+        for tid, th in tile_hashes(px):
+            rows.append({"img_id": did, "tile_id": tid, "tile_phash": th})
+        if did % 10 == 4:
+            edited = px.copy()
+            h, w = edited.shape[:2]
+            rng = np.random.Generator(np.random.PCG64(did + 5_000_000))
+            edited[: h // 2, : w // 2] = rng.integers(
+                0, 256, size=(h // 2, w // 2, 3), dtype=np.uint8
+            )
+            for tid, th in tile_hashes(edited):
+                rows.append(
+                    {
+                        "img_id": did + TILE_VARIANT_OFFSET,
+                        "tile_id": tid,
+                        "tile_phash": th,
+                    }
+                )
+    return rows
+
+
+def tile_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < TILE_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = _tile_rows(pdf["doc_id"])
+            yield pd.DataFrame(
+                rows, columns=["img_id", "tile_id", "tile_phash"]
+            )
+
+    return docs.mapInPandas(
+        synth, schema="img_id long, tile_id int, tile_phash long"
+    )
+
+
+def tile_partial_dup_pairs(
+    tiles: DataFrame, max_bucket: int = TILE_MAX_BUCKET
+) -> DataFrame:
+    """(img_a, img_b, n_tiles): pairs sharing ≥ TILE_MIN_MATCH
+    bit-identical tiles, hot tile buckets dropped. The bucket-count
+    window rides the same (tile_id, tile_phash) hash partitioning the
+    self-join needs (the _capped_bands pattern), so the Exchange is
+    reused."""
+    w = Window.partitionBy("tile_id", "tile_phash")
+    tiles = (
+        tiles.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= F.lit(max_bucket))
+        .drop("bucket_n")
+    )
+    a, b = tiles.alias("a"), tiles.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tile_id") == F.col("b.tile_id"))
+            & (F.col("a.tile_phash") == F.col("b.tile_phash"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .groupBy(
+            F.col("a.img_id").alias("img_a"), F.col("b.img_id").alias("img_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tiles"))
+        .filter(F.col("n_tiles") >= TILE_MIN_MATCH)
+    )
+
+
+def q_tile_partial_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-duplicate image pairs via quadrant-hash equi-join:
+    (img_a, img_b, n_tiles) with n_tiles ≥ 2 of 4 quadrants identical.
+
+    Catches the large-overlay class (logo/caption/watermark panels)
+    that whole-image phash near-dup misses; at 100 TB this shuffles 4
+    (long, int, long) rows per image on exact tile keys — the same
+    bucket-equi-join plan as MinHash/phash LSH, same hot-bucket cap."""
+    return tile_partial_dup_pairs(tile_corpus(spark, sf_dir))
+
+
+def tile_partial_dup_golden(
+    max_bucket: int = TILE_MAX_BUCKET,
+) -> list[tuple[int, int, int]]:
+    """Pure-Python replay of the capped tile join over the full
+    TILE_N_DOCS corpus — the golden rows the DuckDB oracle pins."""
+    import collections
+
+    rows = _tile_rows(range(TILE_N_DOCS))
+    by_img: dict[int, dict[int, int]] = collections.defaultdict(dict)
+    bucket_n: collections.Counter = collections.Counter()
+    for r in rows:
+        by_img[r["img_id"]][r["tile_id"]] = r["tile_phash"]
+        bucket_n[(r["tile_id"], r["tile_phash"])] += 1
+    ids = sorted(by_img)
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            n = sum(
+                1
+                for tid, th in by_img[a].items()
+                if by_img[b].get(tid) == th
+                and bucket_n[(tid, th)] <= max_bucket
+            )
+            if n >= TILE_MIN_MATCH:
+                out.append((a, b, n))
+    return sorted(out)
+
+
+# --- content-defined-chunking storage dedup ----------------------------------
+# A crawl store at 100 TB holds page payloads whose bytes massively
+# overlap (shared HTML headers/footers/templates around unique bodies).
+# Fixed-size blocks miss the overlap the moment one byte shifts;
+# content-defined chunking (FastCDC-style gear hash) cuts at content-
+# derived boundaries, so identical byte runs produce identical chunks
+# at any offset, and a chunk-hash groupBy finds every duplicated run
+# corpus-wide. Scale shape: the payload bytes stay inside the Arrow
+# kernel (never shuffled); only (doc_id, chunk_hash, chunk_len) longs
+# cross the wire, and the dedup is one hash-keyed aggregation + join.
+
+CDC_N_DOCS = 200  # deterministic subset: doc_id < 200
+CDC_MASK = (1 << 9) - 1  # boundary: gear & mask == mask → ~768 B average
+CDC_MIN = 256  # never cut before this many bytes
+CDC_MAX = 4096  # force a cut at this many bytes
+_CDC_GEAR = np.random.Generator(np.random.PCG64(2026)).integers(
+    0, 1 << 32, size=256, dtype=np.uint64
+)
+_CDC_HEADER_TEMPLATES = 10  # docs share one of 10 'site header' templates
+_CDC_FOOTER_TEMPLATES = 7
+
+
+def _cdc_template(seed: int, size: int) -> bytes:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+
+
+def cdc_payload(doc_id: int) -> bytes:
+    """Deterministic page payload: shared site header + unique body
+    (the project codec's compressed image for this doc) + shared
+    footer — the overlap structure real crawl payloads have."""
+    tpl = doc_id % _CDC_HEADER_TEMPLATES
+    header = _cdc_template(9_000_000 + tpl, 3072 + (tpl * 131) % 512)
+    body = codec.payload_for(f"cdc-{doc_id}")["bytes"]
+    ftpl = doc_id % _CDC_FOOTER_TEMPLATES
+    footer = _cdc_template(9_500_000 + ftpl, 2048 + (ftpl * 97) % 512)
+    return header + body + footer
+
+
+def cdc_chunks(payload: bytes) -> list[tuple[int, int]]:
+    """(chunk_hash, chunk_len) list via gear-hash content-defined
+    chunking: cut where the rolling gear hash's low CDC_MASK bits are
+    all ones, subject to [CDC_MIN, CDC_MAX] bounds. Chunk identity is
+    an 8-byte blake2b of the chunk bytes (deterministic stdlib)."""
+    import hashlib
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    out = []
+    start = 0
+    h = 0
+    i = 0
+    n = len(buf)
+    while i < n:
+        h = ((h << 1) + int(_CDC_GEAR[buf[i]])) & 0xFFFFFFFF
+        i += 1
+        length = i - start
+        if (length >= CDC_MIN and (h & CDC_MASK) == CDC_MASK) or length >= CDC_MAX:
+            chunk = payload[start:i]
+            digest = hashlib.blake2b(chunk, digest_size=8).digest()
+            out.append(
+                (int.from_bytes(digest, "big") & 0x7FFFFFFFFFFFFFFF, length)
+            )
+            start = i
+            h = 0
+    if start < n:
+        chunk = payload[start:]
+        digest = hashlib.blake2b(chunk, digest_size=8).digest()
+        out.append(
+            (int.from_bytes(digest, "big") & 0x7FFFFFFFFFFFFFFF, n - start)
+        )
+    return out
+
+
+def cdc_chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_hash, chunk_len) — payload bytes are
+    synthesized and chunked inside one Arrow kernel; only long-typed
+    chunk identities leave it."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < CDC_N_DOCS
+    )
+
+    def chunker(batches):
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                for idx, (ch, ln) in enumerate(cdc_chunks(cdc_payload(did))):
+                    out.append(
+                        {
+                            "doc_id": did,
+                            "chunk_idx": idx,
+                            "chunk_hash": ch,
+                            "chunk_len": ln,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "chunk_idx", "chunk_hash", "chunk_len"]
+            )
+
+    return docs.mapInPandas(
+        chunker,
+        schema="doc_id long, chunk_idx int, chunk_hash long, chunk_len int",
+    )
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc storage-dedup accounting: (doc_id, n_chunks, total_bytes,
+    dup_chunks, dup_bytes) where a chunk is dup iff its content hash
+    occurs ≥2 times corpus-wide (the shared header/footer runs).
+
+    Plan: chunk kernel → groupBy chunk_hash (pre-aggregated df, 8-byte
+    keys only) → equi-join back → per-doc aggregate. At 100 TB the
+    chunk-hash table is the dedup index a blob store maintains; bytes
+    never cross an Exchange."""
+    rows = cdc_chunk_rows(spark, sf_dir)
+    df = rows.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    return (
+        rows.join(df, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("total_bytes"),
+            F.sum(F.when(F.col("occ") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_chunks"),
+            F.sum(F.when(F.col("occ") >= 2, F.col("chunk_len")).otherwise(0))
+            .cast("long")
+            .alias("dup_bytes"),
+        )
+    )
+
+
+def cdc_chunk_dedup_golden() -> list[tuple[int, int, int, int, int]]:
+    """Pure-Python replay over the full CDC_N_DOCS corpus — the per-doc
+    rows the DuckDB oracle pins."""
+    import collections
+
+    per_doc = {d: cdc_chunks(cdc_payload(d)) for d in range(CDC_N_DOCS)}
+    occ: collections.Counter = collections.Counter()
+    for chunks in per_doc.values():
+        for ch, _ in chunks:
+            occ[ch] += 1
+    out = []
+    for d, chunks in sorted(per_doc.items()):
+        n = len(chunks)
+        total = sum(ln for _, ln in chunks)
+        dup = [(ch, ln) for ch, ln in chunks if occ[ch] >= 2]
+        out.append((d, n, total, len(dup), sum(ln for _, ln in dup)))
+    return out
+
+
 def phash_components_golden() -> list[tuple[int, int, bool]]:
     """Pure-Python union-find over the golden pair list — the rows the
     DuckDB oracle pins (one per corpus image)."""

@@ -267,6 +267,57 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading time rollup over the events stream:
+    minute → hour → day, each coarser grain aggregated FROM the finer
+    grain, never from the raw scan.
+
+    Scale shape: the raw scan is touched exactly once (the minute
+    groupBy, one shuffle whose key count is bounded by minutes×types,
+    partial agg map-side); the hour and day passes then aggregate
+    inputs that are orders of magnitude smaller — at 100 TB the
+    cascade costs one fact shuffle plus two near-free rollups, where
+    recomputing every grain from the scan would cost three. This is
+    the continuous-aggregate / materialized-rollup pattern
+    (TimescaleDB hypertables, Druid rollup) expressed as plain
+    DataFrame ops.
+
+    Determinism: all integer math — epoch seconds (exact (us−us%10⁶)/10⁶
+    floor at ≤2^53) and floor-cents values — so the DuckDB oracle (which
+    derives the day grain directly from the scan, independently of the
+    cascade) matches bit-for-bit in any aggregation order."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ→epoch parity
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sec = ((us - us % 1_000_000) / 1_000_000).cast("long")
+    base = ev.select(
+        sec.alias("sec"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    minute = base.groupBy(
+        (F.col("sec") - F.col("sec") % 60).alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    hour = minute.groupBy(
+        (F.col("m") - F.col("m") % 3600).alias("h"), "event_type"
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+    )
+    return hour.groupBy(
+        (F.col("h") - F.col("h") % 86400).alias("day"), "event_type"
+    ).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+        F.sum("n_minutes").cast("long").alias("n_minutes"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+
+
 RANGE_BUCKET_US = 600_000_000  # 10 min — also the max incident length
 
 

@@ -204,6 +204,132 @@ FROM clicks c JOIN wins w
   ON c.click_us >= w.start_us AND c.click_us < w.end_us
 """
 
+# --- link-graph family ---------------------------------------------------------
+# Mirrors linkgraph.q_link_pagerank: the LCG edge synthesis, out-degree
+# split, and 0.85 damping are all integer-exact (HUGEINT // here,
+# DECIMAL(38,0) floor-division on the Spark side), so each unrolled
+# iteration level reproduces bit-identical BIGINT ranks.
+
+
+def _pagerank_levels_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import PR_ITERS, PR_TELEPORT
+
+    parts = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS doc_id,
+         SUM(CAST(CAST(r.pr AS HUGEINT) // od.outdeg AS BIGINT)) AS s
+  FROM {prev} r
+  JOIN edges e ON e.src = r.doc_id
+  JOIN outdeg od ON od.src = e.src
+  GROUP BY e.dst),
+r{i} AS (
+  SELECT d.doc_id,
+         CAST({PR_TELEPORT}
+              + CAST(CAST(COALESCE(s{i}.s, 0) AS HUGEINT) * 85 // 100 AS BIGINT)
+           AS BIGINT) AS pr
+  FROM documents d LEFT JOIN s{i} ON s{i}.doc_id = d.doc_id)"""
+        )
+        prev = f"r{i}"
+    return ",\n".join(parts)
+
+
+def _link_pagerank_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        PR_FANOUT,
+        PR_ITERS,
+        PR_LCG_A,
+        PR_LCG_C,
+        PR_LCG_K,
+        PR_SCALE,
+    )
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C}) % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM cand),
+outdeg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM documents),
+{_pagerank_levels_sql()}
+SELECT r.doc_id, od.outdeg, r.pr
+FROM r{PR_ITERS} r JOIN outdeg od ON od.src = r.doc_id
+"""
+
+
+LINK_PAGERANK = _link_pagerank_sql()
+
+# Mirrors relational.q_multires_rollup — but derives the day grain
+# DIRECTLY from the raw scan (count / sum / count-distinct-buckets),
+# independently of the Spark side's minute→hour→day cascade. The
+# cascade exists for scale (each coarser grain aggregates the much
+# smaller finer grain, not the raw scan); the oracle checks that the
+# cascade loses nothing. All integer math: epoch seconds and
+# floor-cents, no double ever aggregated.
+MULTIRES_ROLLUP = """
+WITH base AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) // 1000000 AS sec,
+         event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT sec - sec % 86400 AS day, event_type,
+       CAST(count(*) AS BIGINT)                       AS n_events,
+       CAST(sum(cents) AS BIGINT)                     AS sum_cents,
+       CAST(count(DISTINCT sec - sec % 60) AS BIGINT)   AS n_minutes,
+       CAST(count(DISTINCT sec - sec % 3600) AS BIGINT) AS n_hours
+FROM base GROUP BY 1, 2
+"""
+
+# Mirrors sketches.q_hll_distinct — identical hash, register split,
+# rank ruler, and literal-for-literal estimator expression; the dyadic
+# indicator sum is order-independent in IEEE doubles (see module doc).
+
+
+def _hll_distinct_sql() -> str:
+    from go_crawler_spark.functions.sketches import (
+        HLL_M,
+        HLL_MIX_A,
+        HLL_MIX_B,
+        HLL_VALUE_BITS,
+    )
+
+    r1 = HLL_VALUE_BITS + 1
+    return f"""
+WITH keys AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+folded AS (SELECT {_poly_hash_sql('k')} AS h0 FROM keys),
+hashed AS (SELECT ((h0 * {HLL_MIX_A}) % {P31} * {HLL_MIX_B}) % {P31} AS h
+           FROM folded),
+regs AS (
+  SELECT h % {HLL_M} AS register,
+         MAX(CASE WHEN h // {HLL_M} = 0 THEN {r1}
+                  ELSE {r1} - length(bin(h // {HLL_M})) END) AS m_rank
+  FROM hashed GROUP BY 1),
+est AS (
+  SELECT CAST({HLL_M} AS INT) AS m,
+         CAST({HLL_M} - count(*) AS BIGINT) AS n_zero_registers,
+         SUM(power(CAST(2.0 AS DOUBLE), -m_rank))
+           + CAST({HLL_M} - count(*) AS DOUBLE) AS indicator_sum
+  FROM regs)
+SELECT m, n_zero_registers, indicator_sum,
+       CAST(0.7213 AS DOUBLE)
+         / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))
+         * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE) / indicator_sum
+         AS raw_estimate,
+       (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM keys) AS exact_distinct
+FROM est
+"""
+
+
+HLL_DISTINCT = _hll_distinct_sql()
+
 # --- parsing family ----------------------------------------------------------
 
 EXTRACT_TOTAL_COUNT = """
@@ -1189,6 +1315,47 @@ SELECT CAST(g.img_a AS BIGINT) AS img_a,
 FROM golden g
 JOIN documents a ON a.doc_id = g.img_a % 100000
 JOIN documents b ON b.doc_id = g.img_b % 100000
+"""
+
+def _tile_partial_dup_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import tile_partial_dup_golden
+
+    return ",\n    ".join(
+        f"({a}, {b}, {n})" for a, b, n in tile_partial_dup_golden()
+    )
+
+
+TILE_PARTIAL_DUP = f"""
+WITH golden(img_a, img_b, n_tiles) AS (
+  VALUES
+    {_tile_partial_dup_golden_values()})
+SELECT CAST(g.img_a AS BIGINT)   AS img_a,
+       CAST(g.img_b AS BIGINT)   AS img_b,
+       CAST(g.n_tiles AS BIGINT) AS n_tiles
+FROM golden g
+JOIN documents a ON a.doc_id = g.img_a % 200000
+JOIN documents b ON b.doc_id = g.img_b % 200000
+"""
+
+def _cdc_chunk_dedup_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import cdc_chunk_dedup_golden
+
+    return ",\n    ".join(
+        f"({d}, {n}, {t}, {dc}, {db})"
+        for d, n, t, dc, db in cdc_chunk_dedup_golden()
+    )
+
+
+CDC_CHUNK_DEDUP = f"""
+WITH golden(doc_id, n_chunks, total_bytes, dup_chunks, dup_bytes) AS (
+  VALUES
+    {_cdc_chunk_dedup_golden_values()})
+SELECT CAST(g.doc_id AS BIGINT)      AS doc_id,
+       CAST(g.n_chunks AS BIGINT)    AS n_chunks,
+       CAST(g.total_bytes AS BIGINT) AS total_bytes,
+       CAST(g.dup_chunks AS BIGINT)  AS dup_chunks,
+       CAST(g.dup_bytes AS BIGINT)   AS dup_bytes
+FROM golden g JOIN documents d ON d.doc_id = g.doc_id
 """
 
 EXACT_DEDUP = """

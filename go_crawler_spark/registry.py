@@ -14,11 +14,13 @@ from go_crawler_spark import oracles
 from go_crawler_spark.functions import (
     cleaning,
     extraction,
+    linkgraph,
     multimodal,
     parsing,
     relational,
     search,
     similarity,
+    sketches,
     textstats,
 )
 
@@ -59,11 +61,13 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ORDERING POLICY: the external correctness driver records at most the
 # FIRST 50 dict entries (CORRECTNESS_r03.json stopped at exactly 50 of
 # 62).  Entries are therefore ordered by evidence need, not by theme:
-# the similarity/ANN/search/multimodal family — which sat past the
-# window in rounds 2-3 and so never had a driver-green row — comes
-# first, and twelve relational/parsing entries with three rounds of
-# driver-green history (r1+r2+r3) are rotated to the tail.  Pure dict
-# reordering; no behavior change (VERDICT r3 "Next round" item #1).
+# never-driver-checked ops first (the r2-r3 similarity/ANN/multimodal
+# family plus every round-4 addition at positions ≤ 20), and entries
+# with multi-round driver-green history rotated to the tail — the five
+# that round 4's additions pushed past the window (ngram_jaccard_pairs,
+# minhash_lsh_candidates, minhash_jaccard_estimate, kmeans_assign,
+# neardup_components) are all r3-green in CORRECTNESS_r03.json.  Pure
+# dict ordering; no behavior change (VERDICT r3 "Next round" item #1).
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # dedup sketches + similarity search — never driver-checked ops first
     "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
@@ -96,6 +100,21 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # as-of = union-window composition, range = bounded bucket binning)
     "asof_join": (relational.q_asof_join, oracles.ASOF_JOIN),
     "range_join": (relational.q_range_join, oracles.RANGE_JOIN),
+    # tile-hash partial-dup: the large-overlay image class whole-image
+    # phash misses (≥2 of 4 quadrant hashes identical, capped buckets)
+    "tile_partial_dup": (multimodal.q_tile_partial_dup, oracles.TILE_PARTIAL_DUP),
+    # PageRank frontier priority (iterative: 2 shuffles/round, integer-
+    # exact damping so the unrolled DuckDB levels match bit-for-bit)
+    "link_pagerank": (linkgraph.q_link_pagerank, oracles.LINK_PAGERANK),
+    # hypertable-style cascading minute→hour→day rollup; oracle derives
+    # the day grain directly from the scan, independent of the cascade
+    "multires_rollup": (relational.q_multires_rollup, oracles.MULTIRES_ROLLUP),
+    # HyperLogLog distinct-count sketch (256 mergeable registers,
+    # raw estimator is bit-exact dyadic math in both engines)
+    "hll_distinct": (sketches.q_hll_distinct, oracles.HLL_DISTINCT),
+    # content-defined-chunking storage dedup over binary payloads
+    # (gear-hash boundaries; only 8-byte chunk ids ever shuffle)
+    "cdc_chunk_dedup": (multimodal.q_cdc_chunk_dedup, oracles.CDC_CHUNK_DEDUP),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

@@ -207,6 +207,223 @@ def test_top_ngram_share_matches_bruteforce(spark, sf_small):
     assert any(r["top_count"] >= 2 for r in rows)
 
 
+def test_link_pagerank_matches_bruteforce(spark, sf_small):
+    """Integer PageRank == an independent pure-Python replay: same LCG
+    edges, same exact floor-divisions, dict-based iteration."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.linkgraph import (
+        PR_FANOUT,
+        PR_ITERS,
+        PR_LCG_A,
+        PR_LCG_C,
+        PR_LCG_K,
+        PR_SCALE,
+        PR_TELEPORT,
+        q_link_pagerank,
+    )
+
+    ids = sorted(
+        pd.read_parquet(f"{sf_small}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ]
+    )
+    n = len(ids)
+    edges = set()
+    for src in ids:
+        for k in range(PR_FANOUT):
+            dst = (src * PR_LCG_A + k * PR_LCG_K + PR_LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            edges.add((src, dst))
+    outdeg = {}
+    for src, _ in edges:
+        outdeg[src] = outdeg.get(src, 0) + 1
+    pr = {i: PR_SCALE for i in ids}
+    for _ in range(PR_ITERS):
+        s = {i: 0 for i in ids}
+        for src, dst in edges:
+            s[dst] += pr[src] // outdeg[src]
+        pr = {i: PR_TELEPORT + (85 * s[i]) // 100 for i in ids}
+
+    rows = q_link_pagerank(spark, sf_small).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r["outdeg"], r["pr"]) == (outdeg[r["doc_id"]], pr[r["doc_id"]]), (
+            r["doc_id"]
+        )
+    # non-degenerate: damping must actually differentiate ranks
+    assert len({r["pr"] for r in rows}) > 1
+    # total mass stays bounded by the initial mass (damping contracts)
+    assert sum(r["pr"] for r in rows) <= n * PR_SCALE
+
+
+def test_multires_rollup_matches_pandas(spark, sf_small):
+    """Cascade result == direct day-grain aggregation over the raw
+    events (counts, floor-cents sums, distinct minute/hour buckets)."""
+    import math
+
+    import pandas as pd
+
+    from go_crawler_spark.functions.relational import q_multires_rollup
+
+    ev = pd.read_parquet(f"{sf_small}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    ev["sec"] = ev["ts"].astype("datetime64[us]").astype("int64") // 1_000_000
+    ev["cents"] = [int(math.floor(v * 100)) for v in ev["value"]]
+    ev["day"] = ev["sec"] - ev["sec"] % 86400
+    expected = {}
+    for (day, et), g in ev.groupby(["day", "event_type"]):
+        expected[(day, et)] = (
+            len(g),
+            int(g["cents"].sum()),
+            g["sec"].floordiv(60).nunique(),
+            g["sec"].floordiv(3600).nunique(),
+        )
+
+    rows = q_multires_rollup(spark, sf_small).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (
+            r["n_events"], r["sum_cents"], r["n_minutes"], r["n_hours"]
+        ) == expected[(r["day"], r["event_type"])], (r["day"], r["event_type"])
+    # cascade must be genuinely multi-resolution on this stream
+    assert any(r["n_hours"] > 1 for r in rows)
+
+
+def test_tile_partial_dup_catches_what_phash_misses(spark, sf_small):
+    """The planted large-overlay variants must (a) ALL be recovered by
+    the tile join with exactly 3 of 4 quadrants matching, and (b) in
+    the majority sit outside whole-image phash's Hamming budget — the
+    class separation the operator exists for. (b) is a majority claim,
+    not per-image: a noise overlay averages to mid-gray in the DCT low
+    frequencies, so images whose quadrant was already mid-toned move
+    fewer than 8 bits (measured: 7 of 30 stay within budget)."""
+    from go_crawler_spark.crawl import codec
+    from go_crawler_spark.functions.multimodal import (
+        PHASH_MAX_HAMMING,
+        TILE_MIN_MATCH,
+        TILE_N_DOCS,
+        TILE_VARIANT_OFFSET,
+        _phash_pixels,
+        _tile_rows,
+        q_tile_partial_dup,
+    )
+
+    rows = q_tile_partial_dup(spark, sf_small).collect()
+    got = {(r["img_a"], r["img_b"]): r["n_tiles"] for r in rows}
+    planted = [d for d in range(TILE_N_DOCS) if d % 10 == 4]
+    for d in planted:
+        assert got.get((d, d + TILE_VARIANT_OFFSET)) == 3, d
+    assert all(n >= TILE_MIN_MATCH for n in got.values())
+    # every planted doc must emit variant tile rows
+    variant_ids = {r["img_id"] for r in _tile_rows(planted)}
+    assert all(d + TILE_VARIANT_OFFSET in variant_ids for d in planted)
+    # (b) whole-image phash Hamming for the overlay class blows the
+    # near-dup budget for the majority of planted variants (recompute
+    # via the same codec, pure Python) — those are exactly the pairs
+    # phash near-dup cannot recover but the tile join (a) just did
+    import numpy as np
+
+    missed_by_phash = 0
+    for d in planted:
+        base = _phash_pixels(d)
+        edited = base.copy()
+        h, w = edited.shape[:2]
+        rng = np.random.Generator(np.random.PCG64(d + 5_000_000))
+        edited[: h // 2, : w // 2] = rng.integers(
+            0, 256, size=(h // 2, w // 2, 3), dtype=np.uint8
+        )
+        ham = bin(
+            (codec.phash64(base) & 0xFFFFFFFFFFFFFFFF)
+            ^ (codec.phash64(edited) & 0xFFFFFFFFFFFFFFFF)
+        ).count("1")
+        if ham > PHASH_MAX_HAMMING:
+            missed_by_phash += 1
+    assert missed_by_phash >= len(planted) * 2 // 3, missed_by_phash
+
+
+def test_hll_distinct_accuracy_and_parity(spark, sf_small):
+    """HLL raw estimate == an independent pure-Python sketch over the
+    same keys, and lands within the 2/sqrt(m) error band of the exact
+    count (the estimator's design guarantee at distinct >> m)."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.sketches import (
+        HLL_M,
+        HLL_MIX_A,
+        HLL_MIX_B,
+        HLL_VALUE_BITS,
+        q_hll_distinct,
+    )
+    from go_crawler_spark.functions.similarity import P31
+
+    keys = [
+        str(k)
+        for k in pd.read_parquet(
+            f"{sf_small}/lineitem.parquet", columns=["l_orderkey"]
+        )["l_orderkey"]
+    ]
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P31
+        return acc
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = (poly(k) * HLL_MIX_A) % P31 * HLL_MIX_B % P31
+        j, v = h % HLL_M, h // HLL_M
+        rank = (HLL_VALUE_BITS + 1) - (v.bit_length() if v else 0)
+        regs[j] = max(regs.get(j, 0), rank)
+    s = sum(2.0 ** (-m) for m in regs.values()) + (HLL_M - len(regs))
+    expected_est = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M / s
+
+    row = q_hll_distinct(spark, sf_small).collect()[0]
+    assert row["m"] == HLL_M
+    assert row["n_zero_registers"] == HLL_M - len(regs)
+    assert row["indicator_sum"] == s  # dyadic sum: exactly equal
+    assert row["raw_estimate"] == expected_est
+    exact = len(set(keys))
+    assert row["exact_distinct"] == exact
+    # 2/sqrt(256) = 12.5% band (≈2σ for the raw HLL estimator)
+    assert abs(row["raw_estimate"] - exact) <= 0.125 * exact
+
+
+def test_cdc_chunk_dedup_finds_shared_templates(spark, sf_small):
+    """Chunk accounting == the golden replay, every doc's shared
+    header/footer bytes are detected as dup, and chunk bounds hold."""
+    from go_crawler_spark.functions.multimodal import (
+        CDC_MAX,
+        CDC_MIN,
+        cdc_chunk_dedup_golden,
+        cdc_chunks,
+        cdc_payload,
+        q_cdc_chunk_dedup,
+    )
+
+    golden = {d: rest for d, *rest in cdc_chunk_dedup_golden()}
+    rows = q_cdc_chunk_dedup(spark, sf_small).collect()
+    assert len(rows) == len(golden)
+    for r in rows:
+        assert [
+            r["n_chunks"], r["total_bytes"], r["dup_chunks"], r["dup_bytes"]
+        ] == golden[r["doc_id"]], r["doc_id"]
+    # the shared-template structure must actually dedupe: every doc
+    # shares its header with ~19 others, so dup bytes are nonzero
+    assert all(r["dup_bytes"] > 0 for r in rows)
+    # and unique body content must survive as non-dup bytes
+    assert all(r["dup_bytes"] < r["total_bytes"] for r in rows)
+    # chunker invariants: bounds respected, lengths sum to payload
+    for d in (0, 7, 123):
+        payload = cdc_payload(d)
+        chunks = cdc_chunks(payload)
+        assert sum(ln for _, ln in chunks) == len(payload)
+        assert all(ln <= CDC_MAX for _, ln in chunks)
+        assert all(ln >= CDC_MIN for _, ln in chunks[:-1])
+
+
 def test_asof_join_matches_bruteforce(spark, sf_small):
     """The union-window as-of composition must equal the literal
     definition: for each click, the view of the same user with the

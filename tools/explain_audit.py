@@ -204,6 +204,39 @@ AUDITED = {
         ["BroadcastNestedLoopJoin"],
         ["CartesianProduct"],
     ),
+    # PageRank: per-iteration rank attach + dst aggregation are long-
+    # keyed equi-joins/aggregates; the only NLJ is the 1-row n_nodes
+    # broadcast (a pass-through, like bm25's stats row). Nothing may
+    # plan an all-pairs product.
+    "link_pagerank": (
+        ["HashAggregate", "Exchange"],
+        ["CartesianProduct"],
+    ),
+    # cascading rollup: three partial+final hash aggregates, each
+    # coarser grain fed by the finer one — no join of any kind
+    "multires_rollup": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # tile partial-dup: same banded-join hygiene as phash_neardup —
+    # Window = hot-bucket cap, join must be a hash equi-join on the
+    # (tile_id, tile_phash) key, never a product
+    "tile_partial_dup": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # HLL: narrow hash map → ≤256-row partial+final aggregate; the
+    # 1-row exact-audit cross is a broadcast pass-through
+    "hll_distinct": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # CDC: bytes live and die inside the Arrow kernel — only 8-byte
+    # chunk ids shuffle; df groupBy + equi-join + per-doc aggregate
+    "cdc_chunk_dedup": (
+        ["MapInPandas", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
