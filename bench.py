@@ -163,6 +163,8 @@ def main() -> None:
         "tile_partial_dup",  # quadrant-hash partial-dup image pairs
         "hll_distinct",  # HyperLogLog distinct sketch (256 registers)
         "cdc_chunk_dedup",  # content-defined-chunking storage dedup
+        "ann_pq_adc_topk",  # product-quantization compressed-domain ANN
+        "cms_heavy_hitters",  # count-min sketch frequency estimation
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -952,3 +952,131 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cell_init") != F.col("cell_final")).alias("moved"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ADC ANN — the compressed-domain scan that makes
+# billion-vector search affordable: a 64-dim float32 vector (256 B)
+# becomes PQ_M=8 one-byte codes (8 B, 32× smaller), and query-time
+# distance is PQ_M lookup-table adds instead of 64 multiplies (Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+# At 100 TB the codes table is the only thing scanned per query; the
+# raw embeddings stay in cold storage.
+#
+# Engine parity is exact, not approximate: vectors are fixed-point
+# quantized first (floor(x·512), a power-of-two scale so the double
+# product and floor are bit-identical in Spark and DuckDB), after which
+# every distance is INTEGER arithmetic — subspace L2 ≤ 8·(2·512)² ≈
+# 8.4e6 and the ADC sum over 8 subspaces stays far inside int64, so the
+# groupBy SUM is order-insensitive (the float fold-order hazard never
+# arises). Codebooks are pivot rows under a fixed residue rule (same
+# no-RNG discipline as IVF; at scale they'd be a trained k-means
+# artifact loaded as a dim table — identical plan shape).
+#
+# Scale shape: codebook (K·M rows) and query LUT (Q·K·M rows) are
+# broadcast; encoding projects to (vec_id, m, code, dist) before the
+# min_by partial aggregate so the quantized vector never rides a
+# shuffle; the ADC scan is a broadcast join on (m, code) + an integer
+# partial-aggregated groupBy — no corpus-wide cross join anywhere.
+# Reference analog: the URL-seen/near-dup probe family (SURVEY.md §2
+# D1) lifted to embedding space; recall-vs-brute-force is pinned in
+# tests/test_extraction.py.
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces: 64 dims → 8 × 8-dim subvectors
+PQ_SUBDIM = ANN_DIM // PQ_M
+PQ_SCALE = 512  # fixed-point factor, power of two → exact in both engines
+PQ_PIVOT_MOD = 31
+PQ_PIVOT_REM = 5
+PQ_TOPK = 5
+
+
+def pq_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, xq): embeddings fixed-point quantized to array<long>."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))).cast(
+                "long"
+            ),
+        ).alias("xq"),
+    )
+
+
+def pq_subvectors(q: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the PQ_M 8-dim subvector slices of each row."""
+    return q.select(
+        "vec_id",
+        "xq",
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(
+            F.col("xq"), F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM
+        ).alias("sv"),
+    )
+
+
+def _l2_int(a: Column, b: Column) -> Column:
+    """Integer squared-L2 between two array<long> columns (exact)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_adc_topk(emb: DataFrame) -> DataFrame:
+    """PQ-ADC top-5 over (vec_id, embedding) rows: encode the corpus to
+    PQ_M one-byte codes against residue-pivot codebooks, then answer
+    queries (vec_id % 100 == 0) by summing broadcast query→codeword
+    distance lookup tables over the codes — integer math end-to-end."""
+    sub = pq_subvectors(pq_quantized(emb))
+    codebook = sub.filter(F.col("vec_id") % PQ_PIVOT_MOD == PQ_PIVOT_REM).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cw")
+    )
+    # encode: nearest codeword per (vec, m); min_by over the integer
+    # (dist, cid) struct ties toward the smaller codeword id, and the
+    # pre-groupBy projection drops sv so only 4 longs ride the shuffle
+    enc = (
+        sub.join(F.broadcast(codebook), "m")
+        .select("vec_id", "m", "cid", _l2_int(F.col("sv"), F.col("cw")).alias("d"))
+    )
+    codes = enc.groupBy("vec_id", "m").agg(
+        F.min_by("cid", F.struct("d", "cid")).alias("code")
+    )
+    # ADC lookup table: query subvector → every codeword, integer dists
+    lut = (
+        sub.filter(F.col("vec_id") % 100 == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "query_id", "m", "cid", _l2_int(F.col("sv"), F.col("cw")).alias("pdist")
+        )
+    )
+    adc = (
+        codes.alias("k")
+        .join(
+            F.broadcast(lut).alias("l"),
+            (F.col("k.m") == F.col("l.m")) & (F.col("k.code") == F.col("l.cid")),
+        )
+        .filter(F.col("k.vec_id") != F.col("l.query_id"))
+        .groupBy(F.col("l.query_id").alias("query_id"), F.col("k.vec_id").alias("vec_id"))
+        .agg(F.sum("pdist").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOPK)
+    )
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )

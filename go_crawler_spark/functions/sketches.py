@@ -114,3 +114,89 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = hll_estimate(hll_registers(li, "k"))
     exact = li.agg(F.countDistinct("k").cast("long").alias("exact_distinct"))
     return est.crossJoin(F.broadcast(exact))
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the frontier's "which hosts dominate
+# the queue?" question answered with d·w integers of mergeable state
+# (Cormode & Muthukrishnan, J. Algorithms 2005) instead of a full
+# per-key shuffle. Each of CMS_D rows hashes the key into CMS_W
+# counters; a key's estimate is the min over its d counters (an upper
+# bound on the true count — collisions only inflate). Counters are
+# additive, so per-partition sketches merge map-side and across crawl
+# rounds exactly like the HLL registers above.
+#
+# Hashing is the engine-agnostic MINSTD family (full-period LCG steps
+# mod 2^31−1): ((key mod P31)·A_j + B_j) mod P31 mod CMS_W — every
+# intermediate ≤ 2^31·70k ≈ 1.5e14, exact in int64/BIGINT on both
+# engines. All counts are integers; no float hazard anywhere.
+#
+# The probe side here enumerates distinct keys WITH their exact counts
+# so the operator doubles as the sketch's accuracy audit (estimate ≥
+# exact always; equality when a key's d counters are collision-free).
+# At 100 TB the sketch build is the only full-data pass (shuffle ≤ d·w
+# rows per partition); the probe runs over a candidate set.
+# --------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+CMS_A = (48271, 16807, 69621, 40692)
+CMS_B = (17, 257, 5003, 101)
+CMS_TOPK = 20
+
+
+def _cms_bucket(key, j: int):
+    return ((key % P31) * CMS_A[j] + CMS_B[j]) % P31 % CMS_W
+
+
+def cms_sketch(keys: DataFrame, col: str) -> DataFrame:
+    """(j, bucket, cnt): the d×w counter table — at most CMS_D·CMS_W
+    rows out of any input size (groupBy count merges map-side)."""
+    k = F.col(col)
+    return (
+        keys.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(k, j) for j in range(CMS_D)])
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-CMS_TOPK event users by count-min estimate, with the exact
+    count alongside as the accuracy audit: (user_id, cms_estimate,
+    exact_count, rank). Ties rank toward the smaller user_id."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    sketch = cms_sketch(ev, "user_id")
+    users = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    probes = users.select(
+        "user_id",
+        "exact_count",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("user_id"), j) for j in range(CMS_D)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.min("cnt").cast("long").alias("cms_estimate"),
+            F.max("exact_count").alias("exact_count"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # orderBy().limit(k) plans as TakeOrderedAndProject — per-partition
+    # partial top-k, no global sort; the window then ranks only the k
+    # survivors (k rows in one task, not a scale concern)
+    top = est.orderBy(
+        F.col("cms_estimate").desc(), F.col("user_id").asc()
+    ).limit(CMS_TOPK)
+    w = Window.orderBy(F.col("cms_estimate").desc(), F.col("user_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "user_id", "cms_estimate", "exact_count", "rank"
+    )

@@ -1950,3 +1950,107 @@ SELECT u.o_orderkey,
        b.matched_rule
 FROM urls u LEFT JOIN best b ON b.o_orderkey = u.o_orderkey
 """
+
+
+# --- PQ-ADC ANN ---------------------------------------------------------------
+# Every distance below is INTEGER math on floor(x·512) fixed-point
+# values (power-of-two scale: the double product and floor are
+# bit-identical in Spark and DuckDB), so the ADC GROUP BY SUM has no
+# float fold-order hazard. lut is enc restricted to query rows — the
+# same values Spark's broadcast query→codeword table computes.
+
+from go_crawler_spark.functions.similarity import (  # noqa: E402
+    PQ_M,
+    PQ_PIVOT_MOD,
+    PQ_PIVOT_REM,
+    PQ_SCALE,
+    PQ_SUBDIM,
+    PQ_TOPK,
+)
+
+ANN_PQ_ADC_TOPK = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT)) AS xq
+  FROM embeddings),
+sub AS (
+  SELECT vec_id, m,
+         list_transform(
+           generate_series(m*{PQ_SUBDIM}+1, m*{PQ_SUBDIM}+{PQ_SUBDIM}),
+           i -> xq[i]) AS sv
+  FROM q CROSS JOIN (
+    SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) ms),
+enc AS (
+  SELECT s.vec_id, s.m, c.cid,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, {PQ_SUBDIM}),
+             i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))),
+           (acc, v) -> acc + v) AS d
+  FROM sub s JOIN (
+    SELECT m, vec_id AS cid, sv AS cw FROM sub
+    WHERE vec_id % {PQ_PIVOT_MOD} = {PQ_PIVOT_REM}) c
+    USING (m)),
+codes AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS rn FROM enc)
+  WHERE rn = 1),
+lut AS (
+  SELECT vec_id AS query_id, m, cid, d AS pdist FROM enc
+  WHERE vec_id % 100 = 0),
+adc AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id,
+         CAST(sum(l.pdist) AS BIGINT) AS adc_dist
+  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.code
+  WHERE k.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS BIGINT)
+    AS rank
+  FROM adc)
+WHERE rank <= {PQ_TOPK}
+"""
+
+
+# --- count-min heavy hitters ---------------------------------------------------
+# All-integer: MINSTD-family bucket hashes and pure counts, so every
+# aggregate is order-insensitive. The top-k cut is total-ordered
+# (estimate DESC, user_id ASC) — no tie ambiguity at the boundary.
+
+from go_crawler_spark.functions.sketches import (  # noqa: E402
+    CMS_A,
+    CMS_B,
+    CMS_D,
+    CMS_TOPK,
+    CMS_W,
+    P31 as _CMS_P31,
+)
+
+_CMS_HASH_VALUES = ", ".join(
+    f"({j}, {CMS_A[j]}, {CMS_B[j]})" for j in range(CMS_D)
+)
+
+CMS_HEAVY_HITTERS = f"""
+WITH h(j, a, b) AS (VALUES {_CMS_HASH_VALUES}),
+ev AS (SELECT user_id FROM events),
+sketch AS (
+  SELECT j, ((user_id % {_CMS_P31}) * a + b) % {_CMS_P31} % {CMS_W} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ev CROSS JOIN h GROUP BY 1, 2),
+users AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count FROM ev GROUP BY 1),
+probes AS (
+  SELECT u.user_id, u.exact_count, j,
+         ((u.user_id % {_CMS_P31}) * a + b) % {_CMS_P31} % {CMS_W} AS bucket
+  FROM users u CROSS JOIN h),
+est AS (
+  SELECT user_id, CAST(min(cnt) AS BIGINT) AS cms_estimate,
+         max(exact_count) AS exact_count
+  FROM probes p JOIN sketch s USING (j, bucket) GROUP BY 1)
+SELECT user_id, cms_estimate, exact_count, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY cms_estimate DESC, user_id ASC) AS BIGINT) AS rank FROM est)
+WHERE rank <= {CMS_TOPK}
+"""

@@ -115,6 +115,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # content-defined-chunking storage dedup over binary payloads
     # (gear-hash boundaries; only 8-byte chunk ids ever shuffle)
     "cdc_chunk_dedup": (multimodal.q_cdc_chunk_dedup, oracles.CDC_CHUNK_DEDUP),
+    # product-quantization ADC ANN (8×1-byte codes, integer distances;
+    # the compressed-domain scan that makes billion-vector search cheap)
+    "ann_pq_adc_topk": (similarity.q_ann_pq_adc_topk, oracles.ANN_PQ_ADC_TOPK),
+    # count-min sketch heavy hitters (d×w mergeable counters + exact
+    # count audit column; estimate ≥ exact always)
+    "cms_heavy_hitters": (sketches.q_cms_heavy_hitters, oracles.CMS_HEAVY_HITTERS),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

@@ -481,3 +481,123 @@ def test_range_join_matches_bruteforce(spark, sf_small):
     }
     assert got == expected
     assert expected, "scenario must produce at least one contained click"
+
+
+def test_pq_adc_planted_twin_and_replay(spark, sf_small):
+    """Two PQ-ADC invariants a value-hash can't express:
+    (a) planted-twin retrieval — a tiny perturbation of each query
+        encodes to the same PQ codes, so its ADC distance is the
+        query's own quantization floor and it must appear in the
+        top-5 (this is the 'near neighbors are far closer than
+        noise' regime PQ is deployed for at corpus scale);
+    (b) exact pure-Python replay parity on the real embeddings table —
+        codes, ADC sums, and the (adc_dist, neighbor_id) ranking all
+        reproduced independently in numpy, integer-for-integer."""
+    import numpy as np
+
+    from go_crawler_spark.functions.similarity import (
+        ANN_DIM,
+        PQ_M,
+        PQ_PIVOT_MOD,
+        PQ_PIVOT_REM,
+        PQ_SCALE,
+        PQ_SUBDIM,
+        PQ_TOPK,
+        pq_adc_topk,
+        q_ann_pq_adc_topk,
+    )
+    from go_crawler_spark.tables import load
+
+    # --- (a) planted twins -------------------------------------------------
+    rng_rows = []
+    for vid in range(400):
+        g = np.random.Generator(np.random.PCG64(vid))
+        if vid % 100 == 1:  # twin of query vid-1: same vector + epsilon
+            g = np.random.Generator(np.random.PCG64(vid - 1))
+            v = g.uniform(-1.0, 1.0, ANN_DIM) + 1e-4
+        else:
+            v = g.uniform(-1.0, 1.0, ANN_DIM)
+        rng_rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    got: dict[int, set[int]] = {}
+    for r in pq_adc_topk(emb).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid in (0, 100, 200, 300):
+        assert qid + 1 in got[qid], f"twin {qid + 1} missing from top-5 of {qid}"
+
+    # --- (b) numpy replay on the parquet table ------------------------------
+    import pandas as pd
+
+    e = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    X = np.stack(e.embedding.values).astype(np.float64)
+    ids = e.vec_id.values.astype(np.int64)
+    XQ = np.floor(X * PQ_SCALE).astype(np.int64)
+    piv = (ids % PQ_PIVOT_MOD) == PQ_PIVOT_REM
+    cb_ids = ids[piv]
+    codes = np.zeros((len(ids), PQ_M), dtype=np.int64)
+    for m in range(PQ_M):
+        sub = XQ[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+        cw = sub[piv]
+        d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(-1)
+        order = np.lexsort((np.broadcast_to(cb_ids, d.shape), d), axis=1)[:, 0]
+        codes[:, m] = cb_ids[order]
+    pos_of = {c: i for i, c in enumerate(cb_ids)}
+    expected = set()
+    for qi in np.where(ids % 100 == 0)[0]:
+        adc = np.zeros(len(ids), dtype=np.int64)
+        for m in range(PQ_M):
+            sub = XQ[:, m * PQ_SUBDIM:(m + 1) * PQ_SUBDIM]
+            lut = ((sub[qi][None, :] - sub[piv]) ** 2).sum(-1)
+            adc += lut[[pos_of[c] for c in codes[:, m]]]
+        cand = sorted(
+            (int(adc[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != ids[qi]
+        )[:PQ_TOPK]
+        for rank, (dist, nid) in enumerate(cand, start=1):
+            expected.add((int(ids[qi]), nid, dist, rank))
+    got_rows = {
+        (r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in q_ann_pq_adc_topk(spark, sf_small).collect()
+    }
+    assert got_rows == expected and len(expected) > 0
+
+
+def test_cms_heavy_hitters_bounds_and_replay(spark, sf_small):
+    """Count-min invariants: the estimate is an UPPER bound on the exact
+    count for every key (collisions only inflate), the exact column is
+    the true per-user event count, ranking is (estimate DESC, user_id
+    ASC), and the whole sketch replays exactly in pure Python."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_D,
+        CMS_TOPK,
+        CMS_W,
+        P31,
+        q_cms_heavy_hitters,
+    )
+
+    ev = pd.read_parquet(f"{sf_small}/events.parquet", columns=["user_id"])
+    exact = ev.user_id.value_counts().to_dict()
+    # pure-Python sketch
+    table = [dict() for _ in range(CMS_D)]
+    for u in ev.user_id:
+        for j in range(CMS_D):
+            b = ((int(u) % P31) * CMS_A[j] + CMS_B[j]) % P31 % CMS_W
+            table[j][b] = table[j].get(b, 0) + 1
+    est = {
+        int(u): min(
+            table[j][((int(u) % P31) * CMS_A[j] + CMS_B[j]) % P31 % CMS_W]
+            for j in range(CMS_D)
+        )
+        for u in exact
+    }
+    order = sorted(exact, key=lambda u: (-est[int(u)], int(u)))[:CMS_TOPK]
+    rows = q_cms_heavy_hitters(spark, sf_small).collect()
+    assert [r["user_id"] for r in rows] == [int(u) for u in order]
+    for r in rows:
+        assert r["exact_count"] == exact[r["user_id"]]
+        assert r["cms_estimate"] == est[r["user_id"]]
+        assert r["cms_estimate"] >= r["exact_count"]  # CMS upper bound
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))

@@ -237,6 +237,21 @@ AUDITED = {
         ["MapInPandas", "HashAggregate"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # PQ-ADC ANN: codebook and query LUT are broadcast equi-joins; the
+    # encode min_by and ADC sum are partial+final hash aggregates; the
+    # per-query top-k is a Window partitioned on query_id. Nothing may
+    # plan an all-pairs product over the corpus.
+    "ann_pq_adc_topk": (
+        ["BroadcastHashJoin", "HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # count-min heavy hitters: sketch build collapses to ≤ d·w rows via
+    # partial+final aggregate; probe joins the broadcast sketch; the
+    # top-k cut must be TakeOrderedAndProject (parallel partial top-k)
+    "cms_heavy_hitters": (
+        ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
