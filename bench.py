@@ -165,6 +165,11 @@ def main() -> None:
         "cdc_chunk_dedup",  # content-defined-chunking storage dedup
         "ann_pq_adc_topk",  # product-quantization compressed-domain ANN
         "cms_heavy_hitters",  # count-min sketch frequency estimation
+        "image_filter_gate",  # metadata-only image curation keep gate
+        "seq_pack",  # two-phase prefix-sum context-window packing
+        "quantile_sketch",  # mergeable histogram percentiles
+        "inverted_index",  # posting-table build (bounded top-k state)
+        "payload_header_sniff",  # JVM-only binary header parse
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

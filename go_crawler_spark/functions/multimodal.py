@@ -891,3 +891,176 @@ def phash_components_golden() -> list[tuple[int, int, bool]]:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return [(i, find(i), find(i) == i) for i in ids]
+
+
+# --- metadata-only image curation gate ---------------------------------------
+# The image analog of the composed corpus-keep decision: DataComp/LAION-
+# style filtering decides keep/drop from CHEAP metadata (dimensions,
+# byte size, caption, hash entropy) long before any expensive model or
+# even a full decode runs. Reference analog: the validity gate + field
+# ladders of SURVEY.md §2 B9/E5 lifted to the image modality.
+#
+# Scale shape: stage 1 (the "fetch" kernel) is the only place binary
+# payload exists — it emits a ~50-byte metadata row per image and the
+# bytes die inside the Arrow batch, so at 100 TB the gate shuffles
+# nothing but metadata. Every rule is then a JVM-side integer/length
+# expression (whole-stage codegen, zero Python in the gate itself),
+# which is what lets the DuckDB oracle RE-DERIVE the rules in SQL from
+# the golden inputs instead of replaying a Python black box.
+#
+# Thresholds are calibrated so each rule rejects a real slice of the
+# synthesized corpus (no vacuous flags — same discipline as the Gopher
+# rule set in textstats.py): the @x4 upscaled class trips the byte
+# ceiling, the base class trips min-side, templated captions spread
+# across the length cut, and the popcount band clips the hash-entropy
+# tails.
+
+IMG_GATE_N_DOCS = 300  # doc_id < 300; 200..299 are @x4 upscales
+IMG_GATE_MIN_SIDE = 32
+IMG_GATE_AR_NUM = 3  # aspect ok iff 2*max_side <= 3*min_side (ratio <= 1.5)
+IMG_GATE_AR_DEN = 2
+IMG_GATE_MAX_BYTES = 100_000  # decode-bomb guard
+IMG_GATE_MIN_CAPTION = 31  # unicode chars
+IMG_GATE_POP_LO = 26  # phash popcount band: near-constant images sit
+IMG_GATE_POP_HI = 38  # at the tails (all-0/all-1-ish hashes)
+
+
+def image_gate_id(doc_id: int) -> str:
+    return f"doc-{doc_id}" if doc_id < 200 else f"doc-{doc_id}@x4"
+
+
+def image_gate_inputs() -> list[tuple[int, str, int, int, int, str, int]]:
+    """Golden (doc_id, image_id, w, h, n_bytes, caption, phash) rows —
+    the oracle's VALUES table; rule logic is NOT replayed here."""
+    rows = []
+    for did in range(IMG_GATE_N_DOCS):
+        p = codec.payload_for(image_gate_id(did))
+        rows.append(
+            (did, p["image_id"], p["w"], p["h"], len(p["bytes"]),
+             p["caption"], p["phash"])
+        )
+    return rows
+
+
+def q_image_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only curation gate over synthesized image payloads:
+    fetch-kernel emits metadata (bytes never leave the Arrow batch),
+    then five JVM-side rules AND into the keep decision."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < IMG_GATE_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                p = codec.payload_for(image_gate_id(int(did)))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "w": p["w"],
+                        "h": p["h"],
+                        "n_bytes": len(p["bytes"]),
+                        "caption": p["caption"],
+                        "phash": p["phash"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "w", "h", "n_bytes", "caption", "phash"]
+            )
+
+    meta = docs.mapInPandas(
+        synth,
+        schema="doc_id long, w int, h int, n_bytes int, caption string, phash long",
+    )
+    min_side = F.least("w", "h")
+    max_side = F.greatest("w", "h")
+    flags = meta.select(
+        "doc_id",
+        "w",
+        "h",
+        "n_bytes",
+        F.length("caption").cast("int").alias("caption_len"),
+        F.bit_count("phash").cast("int").alias("phash_pop"),
+        (min_side >= IMG_GATE_MIN_SIDE).alias("min_side_ok"),
+        (max_side * IMG_GATE_AR_DEN <= min_side * IMG_GATE_AR_NUM).alias(
+            "aspect_ok"
+        ),
+        (F.col("n_bytes") <= IMG_GATE_MAX_BYTES).alias("bytes_ok"),
+        (F.length("caption") >= IMG_GATE_MIN_CAPTION).alias("caption_ok"),
+        F.bit_count("phash").between(IMG_GATE_POP_LO, IMG_GATE_POP_HI).alias(
+            "phash_entropy_ok"
+        ),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("min_side_ok")
+        & F.col("aspect_ok")
+        & F.col("bytes_ok")
+        & F.col("caption_ok")
+        & F.col("phash_entropy_ok"),
+    )
+
+
+# --- JVM-only payload header sniff -------------------------------------------
+# Parsing the 9-byte payload header (MAGIC ++ fmt ++ w:u16le ++ h:u16le)
+# with BUILT-IN expressions — substring on binary, hex, conv — means a
+# 100 TB metadata pass never crosses the JVM↔Python Arrow boundary at
+# all: whole-stage codegen reads 9 bytes per row and the multi-GB
+# payload column is never copied into a Python worker. (The synth
+# stage below is a Python kernel only because the payload itself is
+# synthesized; a real lake scans parquet directly into this parse.)
+#
+# Correctness is an encoder↔parser round-trip: Spark derives (fmt, w,
+# h) FROM THE BYTES by expression, the oracle pins the codec's truth
+# values per doc_id — if either the encoder or the JVM parse drifted a
+# bit, the hash gate catches it.
+
+SNIFF_N_DOCS = 200
+
+
+def _u16le(col_bytes, pos: int):
+    """Little-endian uint16 at 1-indexed byte offset pos, via built-ins."""
+    lo = F.conv(F.hex(F.substring(col_bytes, pos, 1)), 16, 10).cast("long")
+    hi = F.conv(F.hex(F.substring(col_bytes, pos + 1, 1)), 16, 10).cast("long")
+    return lo + hi * 256
+
+
+def q_payload_header_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, magic_ok, fmt, w, h, n_bytes) parsed from the binary
+    payload column entirely with JVM expressions."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < SNIFF_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                p = codec.payload_for(f"doc-{int(did)}")
+                rows.append({"doc_id": int(did), "bytes": p["bytes"]})
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    payload = docs.mapInPandas(synth, schema="doc_id long, bytes binary")
+    b = F.col("bytes")
+    return payload.select(
+        "doc_id",
+        (F.hex(F.substring(b, 1, 4)) == F.lit("47435349")).alias("magic_ok"),
+        F.when(F.hex(F.substring(b, 5, 1)) == "00", "png")
+        .otherwise("jpeg")
+        .alias("fmt"),
+        _u16le(b, 6).alias("w"),
+        _u16le(b, 8).alias("h"),
+        F.length(b).cast("long").alias("n_bytes"),
+    )
+
+
+def payload_sniff_golden() -> list[tuple[int, str, int, int, int]]:
+    """Codec-truth (doc_id, fmt, w, h, n_bytes) — the oracle's VALUES;
+    derived from the ENCODER side while Spark parses the bytes, so the
+    comparison is a real round-trip."""
+    out = []
+    for did in range(SNIFF_N_DOCS):
+        p = codec.payload_for(f"doc-{did}")
+        out.append((did, p["fmt"], p["w"], p["h"], len(p["bytes"])))
+    return out

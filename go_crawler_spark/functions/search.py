@@ -97,3 +97,70 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build — the other half of search infrastructure: BM25
+# above FILTERS with a fixed query; this MATERIALIZES the posting
+# table an ad-hoc query engine serves from. Per term: document
+# frequency, total term frequency, and the head of the posting list
+# (top INDEX_POSTINGS docs by tf desc, doc_id asc) rendered as a
+# "doc:tf" string so the value survives engine-agnostic hashing.
+#
+# Scale honesty: the naive collect_list-per-term aggregation buffers
+# EVERY (doc, tf) pair of a hot term ("the" over 10^10 docs) in one
+# aggregation state — unbounded memory. The plan here instead ranks
+# with a per-term row_number Window (sort-based, spillable) and only
+# the ≤ INDEX_POSTINGS survivors enter the list aggregate, so no
+# operator state exceeds k rows per term. Both shuffles key on the
+# term; stats and postings reuse the same partitioning (one Exchange,
+# AQE-reused).
+# --------------------------------------------------------------------------
+
+INDEX_DF_MIN = 5  # drop hapax-ish terms: df >= 5
+INDEX_POSTINGS = 8  # posting-list head length
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, tf_total, top_postings) for every term with df >=
+    INDEX_DF_MIN; top_postings = "doc:tf,doc:tf,..." ranked tf desc,
+    doc_id asc."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    head = tf.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= INDEX_POSTINGS
+    )
+    posts = head.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rn").alias("rn"),
+                            F.concat_ws(":", "doc_id", "tf").alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+        ).alias("top_postings")
+    )
+    return (
+        stats.filter(F.col("df") >= INDEX_DF_MIN)
+        .join(posts, "term")
+        .select("term", "df", "tf_total", "top_postings")
+    )

@@ -1,4 +1,5 @@
-"""Cardinality sketches: HyperLogLog distinct counting.
+"""Mergeable sketches: HyperLogLog distinct counting, count-min
+frequency estimation, and equi-width histogram quantiles.
 
 "How many distinct URLs has the crawl seen?" is the frontier's
 always-on question; COUNT(DISTINCT) at 100 TB costs a full shuffle of
@@ -29,7 +30,7 @@ frontier actually lives in: distinct ≫ m).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from go_crawler_spark.functions.textstats import rolling_fingerprint
@@ -188,8 +189,6 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("exact_count").alias("exact_count"),
         )
     )
-    from pyspark.sql import Window
-
     # orderBy().limit(k) plans as TakeOrderedAndProject — per-partition
     # partial top-k, no global sort; the window then ranks only the k
     # survivors (k rows in one task, not a scale concern)
@@ -199,4 +198,75 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("cms_estimate").desc(), F.col("user_id").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "user_id", "cms_estimate", "exact_count", "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram quantile sketch — the third mergeable sketch
+# (HLL counts distincts, CMS counts frequencies, this one places
+# percentiles): 256 fixed token-length bins whose counts are additive
+# across partitions, rounds, and corpus shards, so "p99 document
+# length" at 100 TB is one ≤256-row aggregate away instead of a global
+# sort. The percentile answer is the smallest bin whose cumulative
+# count covers p% of documents — reported with its [lo, hi) bounds so
+# the error bar (one bin width) is explicit in the output.
+#
+# All integers end-to-end: bin = min(n_tokens // QSK_BIN_W, 255) and
+# the coverage test is cum*100 >= p*total (no float percent). The
+# post-aggregate stages run on ≤256-row frames (windows/joins there
+# are single-task by construction, not by accident).
+# --------------------------------------------------------------------------
+
+QSK_BINS = 256
+QSK_BIN_W = 8  # tokens per bin: covers 0..2047 exactly, 2048+ clamps
+QSK_PCTS = (50, 90, 99)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pct, bin_idx, bin_lo, bin_hi, cum_count, total_count) for token-
+    length percentiles 50/90/99 read off the 256-bin histogram."""
+    from go_crawler_spark.functions.textstats import token_count
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    hist = (
+        base.select(
+            F.least(
+                F.expr(f"n_tokens div {QSK_BIN_W}").cast("long"),
+                F.lit(QSK_BINS - 1).cast("long"),
+            ).alias("bin_idx")
+        )
+        .groupBy("bin_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("bin_count"))
+    )
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin_idx",
+        "bin_count",
+        F.sum("bin_count").over(w).cast("long").alias("cum_count"),
+    )
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("total_count"))
+    pcts = spark.createDataFrame(
+        [(p,) for p in QSK_PCTS], "pct long"
+    )
+    covered = (
+        pcts.crossJoin(F.broadcast(total))
+        .join(
+            F.broadcast(cum),
+            F.col("cum_count") * 100 >= F.col("pct") * F.col("total_count"),
+        )
+        .groupBy("pct", "total_count")
+        .agg(F.min("bin_idx").alias("bin_idx"))
+    )
+    return (
+        covered.join(F.broadcast(cum), "bin_idx")
+        .select(
+            "pct",
+            "bin_idx",
+            (F.col("bin_idx") * QSK_BIN_W).cast("long").alias("bin_lo"),
+            ((F.col("bin_idx") + 1) * QSK_BIN_W).cast("long").alias("bin_hi"),
+            "cum_count",
+            "total_count",
+        )
     )

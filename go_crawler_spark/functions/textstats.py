@@ -446,3 +446,78 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wq"), F.col("tot_tokens"), F.col("sum_wq")
         ).alias("expected_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — the last mile of a training-data pipeline: the
+# token stream of all documents (doc_id order) is conceptually
+# concatenated and cut into fixed context windows of SEQPACK_BUDGET
+# tokens; each document needs its absolute start offset and the range
+# of windows it spans (the manifest a loader uses to materialize
+# shards without re-tokenizing).
+#
+# The naive Spark formulation — one global Window.orderBy(doc_id)
+# running SUM — collapses all rows into a single partition. This is
+# the textbook distributed prefix-sum instead: (1) bucket docs by
+# doc_id range, (2) aggregate per-bucket token sums (one small
+# shuffle), (3) running-sum the BUCKET table (n_docs/SEQPACK_BUCKET
+# rows — the only single-task window, a few MB even at 10^9 docs;
+# add a third level if the bucket table itself outgrows a task),
+# (4) broadcast-join bucket offsets back and window WITHIN buckets
+# (partitioned, parallel). All arithmetic is int64; window cuts use
+# Spark's integral `div`, so DuckDB's `//` matches exactly.
+# --------------------------------------------------------------------------
+
+SEQPACK_BUDGET = 2048  # tokens per context window
+SEQPACK_BUCKET = 100  # doc_id range per prefix-sum bucket
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document packing manifest: (doc_id, n_tokens, start_off,
+    pack_first, pack_last, n_packs) for doc_id-ordered concat-then-
+    chunk packing into SEQPACK_BUDGET-token context windows."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    t = docs.withColumn(
+        "bucket", F.expr(f"doc_id div {SEQPACK_BUCKET}")
+    )
+    bsums = t.groupBy("bucket").agg(F.sum("n_tokens").alias("b_tokens"))
+    w_b = (
+        _W.orderBy("bucket")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    offsets = bsums.select(
+        "bucket",
+        F.coalesce(F.sum("b_tokens").over(w_b), F.lit(0)).alias("b_off"),
+    )
+    w_in = (
+        _W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    placed = (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "start_off",
+            (
+                F.col("b_off")
+                + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+    )
+    # a 0-token doc occupies its boundary window (greatest(n,1) keeps
+    # pack_last >= pack_first with the same rule on both engines)
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off div {SEQPACK_BUDGET}").alias("pack_first"),
+        F.expr(
+            f"(start_off + greatest(n_tokens, 1) - 1) div {SEQPACK_BUDGET}"
+        ).alias("pack_last"),
+    ).withColumn(
+        "n_packs", (F.col("pack_last") - F.col("pack_first") + F.lit(1)).cast("long")
+    )

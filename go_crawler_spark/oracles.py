@@ -2054,3 +2054,192 @@ SELECT user_id, cms_estimate, exact_count, rank FROM (
     ORDER BY cms_estimate DESC, user_id ASC) AS BIGINT) AS rank FROM est)
 WHERE rank <= {CMS_TOPK}
 """
+
+
+# --- image curation gate --------------------------------------------------------
+# Golden rows carry only the codec-derived INPUTS (dims, byte size,
+# caption text, phash); every gate rule is re-derived here in SQL —
+# integer compares, unicode length(), bit_count on the same signed
+# 64-bit pattern — so the decision logic itself is independently
+# computed, not replayed. Engine-parity notes: DuckDB length() counts
+# unicode codepoints like Spark's length(), and bit_count(BIGINT)
+# counts two's-complement bits like Spark's bit_count.
+
+
+def _image_gate_values() -> str:
+    from go_crawler_spark.functions.multimodal import image_gate_inputs
+
+    return ",\n    ".join(
+        f"({d}, {w}, {h}, {nb}, '{cap}', {ph})"
+        for d, _iid, w, h, nb, cap, ph in image_gate_inputs()
+    )
+
+
+from go_crawler_spark.functions.multimodal import (  # noqa: E402
+    IMG_GATE_AR_DEN,
+    IMG_GATE_AR_NUM,
+    IMG_GATE_MAX_BYTES,
+    IMG_GATE_MIN_CAPTION,
+    IMG_GATE_MIN_SIDE,
+    IMG_GATE_POP_HI,
+    IMG_GATE_POP_LO,
+)
+
+IMAGE_FILTER_GATE = f"""
+WITH golden(doc_id, w, h, n_bytes, caption, phash) AS (
+  VALUES
+    {_image_gate_values()}),
+flags AS (
+  SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+         CAST(g.w AS INT) AS w,
+         CAST(g.h AS INT) AS h,
+         CAST(g.n_bytes AS INT) AS n_bytes,
+         CAST(length(g.caption) AS INT) AS caption_len,
+         CAST(bit_count(CAST(g.phash AS BIGINT)) AS INT) AS phash_pop,
+         least(g.w, g.h) >= {IMG_GATE_MIN_SIDE} AS min_side_ok,
+         greatest(g.w, g.h) * {IMG_GATE_AR_DEN}
+           <= least(g.w, g.h) * {IMG_GATE_AR_NUM} AS aspect_ok,
+         g.n_bytes <= {IMG_GATE_MAX_BYTES} AS bytes_ok,
+         length(g.caption) >= {IMG_GATE_MIN_CAPTION} AS caption_ok,
+         bit_count(CAST(g.phash AS BIGINT))
+           BETWEEN {IMG_GATE_POP_LO} AND {IMG_GATE_POP_HI} AS phash_entropy_ok
+  FROM golden g JOIN documents d ON d.doc_id = g.doc_id)
+SELECT *,
+       (min_side_ok AND aspect_ok AND bytes_ok AND caption_ok
+        AND phash_entropy_ok) AS keep
+FROM flags
+"""
+
+
+# --- sequence packing ------------------------------------------------------------
+# Single global running SUM in DuckDB (small data) vs the two-phase
+# distributed prefix sum on the Spark side — identical int64 results.
+# Window cuts use // on non-negative BIGINTs = Spark's `div`.
+
+from go_crawler_spark.functions.textstats import (  # noqa: E402
+    SEQPACK_BUDGET,
+)
+
+SEQ_PACK = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       start_off // {SEQPACK_BUDGET} AS pack_first,
+       (start_off + greatest(n_tokens, 1) - 1) // {SEQPACK_BUDGET}
+         AS pack_last,
+       (start_off + greatest(n_tokens, 1) - 1) // {SEQPACK_BUDGET}
+         - start_off // {SEQPACK_BUDGET} + 1 AS n_packs
+FROM c
+"""
+
+
+# --- quantile sketch -------------------------------------------------------------
+# Independent SQL derivation of the histogram percentile read-off:
+# same 256 equi-width bins, cumulative window, and integer coverage
+# test cum*100 >= p*total. No float percent anywhere.
+
+from go_crawler_spark.functions.sketches import (  # noqa: E402
+    QSK_BIN_W,
+    QSK_BINS,
+    QSK_PCTS,
+)
+
+_QSK_PCT_VALUES = ", ".join(f"({p})" for p in QSK_PCTS)
+
+QUANTILE_SKETCH = f"""
+WITH t AS (
+  SELECT CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents),
+hist AS (
+  SELECT least(n_tokens // {QSK_BIN_W}, {QSK_BINS - 1}) AS bin_idx,
+         CAST(count(*) AS BIGINT) AS bin_count
+  FROM t GROUP BY 1),
+cum AS (
+  SELECT bin_idx, bin_count,
+         CAST(SUM(bin_count) OVER (ORDER BY bin_idx) AS BIGINT) AS cum_count
+  FROM hist),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_count FROM t),
+pcts(pct) AS (VALUES {_QSK_PCT_VALUES}),
+covered AS (
+  SELECT CAST(p.pct AS BIGINT) AS pct, tot.total_count,
+         min(c.bin_idx) AS bin_idx
+  FROM pcts p CROSS JOIN tot
+  JOIN cum c ON c.cum_count * 100 >= p.pct * tot.total_count
+  GROUP BY 1, 2)
+SELECT v.pct, v.bin_idx,
+       v.bin_idx * {QSK_BIN_W} AS bin_lo,
+       (v.bin_idx + 1) * {QSK_BIN_W} AS bin_hi,
+       c.cum_count, v.total_count
+FROM covered v JOIN cum c ON c.bin_idx = v.bin_idx
+"""
+
+
+# --- inverted index --------------------------------------------------------------
+# Same tokenizer CTE as the BM25/token-count oracles; ranking and the
+# posting-head string are re-derived with a window + ordered
+# string_agg. All counts integer; the only string is the rendered
+# "doc:tf" list, built with the identical separator and order.
+
+from go_crawler_spark.functions.search import (  # noqa: E402
+    INDEX_DF_MIN,
+    INDEX_POSTINGS,
+)
+
+INVERTED_INDEX = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_LOWER}) AS term FROM documents),
+tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS tf_total
+  FROM tf GROUP BY 1),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (
+           PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf),
+posts AS (
+  SELECT term,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS top_postings
+  FROM ranked WHERE rn <= {INDEX_POSTINGS} GROUP BY 1)
+SELECT s.term, s.df, s.tf_total, p.top_postings
+FROM stats s JOIN posts p USING (term)
+WHERE s.df >= {INDEX_DF_MIN}
+"""
+
+
+# --- payload header sniff --------------------------------------------------------
+# Golden rows come from the ENCODER (codec truth); Spark's side parses
+# the bytes with JVM expressions — a real encoder↔parser round-trip.
+# magic_ok is asserted true for every synthesized payload.
+
+
+def _payload_sniff_values() -> str:
+    from go_crawler_spark.functions.multimodal import payload_sniff_golden
+
+    return ",\n    ".join(
+        f"({d}, '{fmt}', {w}, {h}, {nb})"
+        for d, fmt, w, h, nb in payload_sniff_golden()
+    )
+
+
+PAYLOAD_HEADER_SNIFF = f"""
+WITH golden(doc_id, fmt, w, h, n_bytes) AS (
+  VALUES
+    {_payload_sniff_values()})
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       TRUE AS magic_ok,
+       g.fmt AS fmt,
+       CAST(g.w AS BIGINT) AS w,
+       CAST(g.h AS BIGINT) AS h,
+       CAST(g.n_bytes AS BIGINT) AS n_bytes
+FROM golden g JOIN documents d ON d.doc_id = g.doc_id
+"""

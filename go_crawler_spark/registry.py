@@ -121,6 +121,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # count-min sketch heavy hitters (d×w mergeable counters + exact
     # count audit column; estimate ≥ exact always)
     "cms_heavy_hitters": (sketches.q_cms_heavy_hitters, oracles.CMS_HEAVY_HITTERS),
+    # metadata-only image curation gate (DataComp/LAION-style keep
+    # rules; bytes die inside the fetch kernel, rules are JVM-side and
+    # independently re-derived in the oracle's SQL)
+    "image_filter_gate": (
+        multimodal.q_image_filter_gate,
+        oracles.IMAGE_FILTER_GATE,
+    ),
+    # sequence packing manifest (two-phase distributed prefix sum →
+    # fixed context-window spans; all-int64, `div` == DuckDB `//`)
+    "seq_pack": (textstats.q_seq_pack, oracles.SEQ_PACK),
+    # histogram quantile sketch (256 mergeable equi-width bins; p50/
+    # p90/p99 token length via integer coverage test)
+    "quantile_sketch": (sketches.q_quantile_sketch, oracles.QUANTILE_SKETCH),
+    # inverted-index build (per-term df/tf + bounded posting-list head
+    # via spillable window rank — no unbounded collect_list state)
+    "inverted_index": (search.q_inverted_index, oracles.INVERTED_INDEX),
+    # JVM-only binary header parse (substring/hex/conv on the payload
+    # column — zero Python in the parse; encoder↔parser round-trip)
+    "payload_header_sniff": (
+        multimodal.q_payload_header_sniff,
+        oracles.PAYLOAD_HEADER_SNIFF,
+    ),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

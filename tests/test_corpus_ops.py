@@ -601,3 +601,209 @@ def test_cms_heavy_hitters_bounds_and_replay(spark, sf_small):
         assert r["cms_estimate"] == est[r["user_id"]]
         assert r["cms_estimate"] >= r["exact_count"]  # CMS upper bound
     assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_image_filter_gate_rules_bite_and_replay(spark, sf_small):
+    """Curation-gate invariants: keep == AND of the five flags, every
+    rule both accepts and rejects someone (no vacuous thresholds — the
+    Gopher-flag discipline), and a row sample replays exactly from the
+    codec in pure Python (independent of the Spark kernel AND of the
+    oracle's SQL derivation)."""
+    from go_crawler_spark.crawl import codec
+    from go_crawler_spark.functions.multimodal import (
+        IMG_GATE_AR_DEN,
+        IMG_GATE_AR_NUM,
+        IMG_GATE_MAX_BYTES,
+        IMG_GATE_MIN_CAPTION,
+        IMG_GATE_MIN_SIDE,
+        IMG_GATE_N_DOCS,
+        IMG_GATE_POP_HI,
+        IMG_GATE_POP_LO,
+        image_gate_id,
+        q_image_filter_gate,
+    )
+
+    rows = {r["doc_id"]: r for r in q_image_filter_gate(spark, sf_small).collect()}
+    assert len(rows) == IMG_GATE_N_DOCS
+    flag_cols = [
+        "min_side_ok", "aspect_ok", "bytes_ok", "caption_ok", "phash_entropy_ok"
+    ]
+    for c in flag_cols:
+        vals = {r[c] for r in rows.values()}
+        assert vals == {True, False}, f"rule {c} is vacuous: {vals}"
+    assert any(r["keep"] for r in rows.values())
+    assert any(not r["keep"] for r in rows.values())
+    for r in rows.values():
+        assert r["keep"] == all(r[c] for c in flag_cols)
+    # pure-Python replay on a deterministic sample
+    for did in (0, 17, 150, 205, 299):
+        p = codec.payload_for(image_gate_id(did))
+        r = rows[did]
+        assert (r["w"], r["h"], r["n_bytes"]) == (p["w"], p["h"], len(p["bytes"]))
+        assert r["caption_len"] == len(p["caption"])
+        pop = bin(p["phash"] & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert r["phash_pop"] == pop
+        assert r["min_side_ok"] == (min(p["w"], p["h"]) >= IMG_GATE_MIN_SIDE)
+        assert r["aspect_ok"] == (
+            max(p["w"], p["h"]) * IMG_GATE_AR_DEN
+            <= min(p["w"], p["h"]) * IMG_GATE_AR_NUM
+        )
+        assert r["bytes_ok"] == (len(p["bytes"]) <= IMG_GATE_MAX_BYTES)
+        assert r["caption_ok"] == (len(p["caption"]) >= IMG_GATE_MIN_CAPTION)
+        assert r["phash_entropy_ok"] == (IMG_GATE_POP_LO <= pop <= IMG_GATE_POP_HI)
+
+
+def test_seq_pack_contiguity_and_replay(spark, sf_small):
+    """Packing-manifest invariants: offsets are a gapless prefix sum in
+    doc_id order (doc i starts exactly where doc i-1 ended), window
+    spans are consistent (pack_first <= pack_last, n_packs matches, a
+    doc spanning k windows has >= (k-1)*BUDGET - slack tokens), and the
+    whole manifest replays from a pure-Python cumulative sum."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.textstats import (
+        SEQPACK_BUDGET,
+        q_seq_pack,
+    )
+
+    rows = sorted(
+        q_seq_pack(spark, sf_small).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows
+    # gapless prefix sum
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off, r["doc_id"]
+        off += r["n_tokens"]
+    # span consistency + replay of the window cuts
+    multi = 0
+    for r in rows:
+        span = max(r["n_tokens"], 1)
+        assert r["pack_first"] == r["start_off"] // SEQPACK_BUDGET
+        assert r["pack_last"] == (r["start_off"] + span - 1) // SEQPACK_BUDGET
+        assert r["n_packs"] == r["pack_last"] - r["pack_first"] + 1 >= 1
+        if r["n_packs"] > 1:
+            multi += 1
+            # spanning k windows requires crossing k-1 boundaries
+            assert span > (r["n_packs"] - 1) * SEQPACK_BUDGET - SEQPACK_BUDGET
+    # the corpus must actually exercise boundary crossings
+    assert multi > 0
+    # independent n_tokens check against pandas whitespace split
+    docs = pd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    ).set_index("doc_id")
+    for r in rows[:50]:
+        toks = [t for t in docs.loc[r["doc_id"], "text"].strip().split() if t]
+        assert r["n_tokens"] == len(toks)
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark, sf_small):
+    """The sketch's bin must BRACKET the exact discrete percentile (the
+    design guarantee: error <= one bin width), cumulative counts must
+    be consistent, and the whole read-off replays in pure Python."""
+    import numpy as np
+    import pandas as pd
+
+    from go_crawler_spark.functions.sketches import (
+        QSK_BIN_W,
+        QSK_BINS,
+        QSK_PCTS,
+        q_quantile_sketch,
+    )
+
+    docs = pd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["text"]
+    )
+    n_tok = np.array(
+        [len([t for t in s.strip().split() if t]) for s in docs["text"]],
+        dtype=np.int64,
+    )
+    bins = np.minimum(n_tok // QSK_BIN_W, QSK_BINS - 1)
+    total = len(n_tok)
+    rows = {r["pct"]: r for r in q_quantile_sketch(spark, sf_small).collect()}
+    assert set(rows) == set(QSK_PCTS)
+    srt = np.sort(n_tok)
+    for p, r in rows.items():
+        assert r["total_count"] == total
+        assert r["bin_lo"] == r["bin_idx"] * QSK_BIN_W
+        assert r["bin_hi"] == r["bin_lo"] + QSK_BIN_W
+        # replay: smallest bin covering p% of docs
+        order = np.sort(bins)
+        k = int(np.searchsorted(np.arange(1, total + 1) * 100, p * total))
+        assert r["bin_idx"] == order[k]
+        assert r["cum_count"] == int((bins <= r["bin_idx"]).sum())
+        assert r["cum_count"] * 100 >= p * total
+        # bracket: the exact discrete percentile value falls in the bin
+        # (or clamps into the top bin)
+        exact = srt[k]
+        assert min(exact // QSK_BIN_W, QSK_BINS - 1) == r["bin_idx"]
+
+
+def test_inverted_index_replays_in_pure_python(spark, sf_small):
+    """Full pure-Python replay of the posting build — df/tf accounting,
+    the df floor, tf-desc/doc-asc ranking with its tie-break, and the
+    rendered posting-head string — independent of both engines."""
+    import collections
+
+    import pandas as pd
+
+    from go_crawler_spark.functions.search import (
+        INDEX_DF_MIN,
+        INDEX_POSTINGS,
+        q_inverted_index,
+    )
+
+    docs = pd.read_parquet(
+        f"{sf_small}/documents.parquet", columns=["doc_id", "text"]
+    )
+    tf: dict[str, dict[int, int]] = collections.defaultdict(dict)
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        for t in text.lower().strip().split():
+            if t:
+                tf[t][did] = tf[t].get(did, 0) + 1
+    expected = {}
+    for term, posting in tf.items():
+        if len(posting) < INDEX_DF_MIN:
+            continue
+        head = sorted(posting.items(), key=lambda kv: (-kv[1], kv[0]))
+        head = head[:INDEX_POSTINGS]
+        expected[term] = (
+            len(posting),
+            sum(posting.values()),
+            ",".join(f"{d}:{c}" for d, c in head),
+        )
+    rows = q_inverted_index(spark, sf_small).collect()
+    got = {r["term"]: (r["df"], r["tf_total"], r["top_postings"]) for r in rows}
+    assert got == expected and len(expected) > 0
+
+
+def test_payload_header_sniff_roundtrip(spark, sf_small):
+    """Encoder↔parser round-trip: the JVM expression parse of (magic,
+    fmt, w, h) must equal the codec truth for every payload, including
+    dims above 255 (the u16 high byte must actually engage)."""
+    from go_crawler_spark.crawl import codec
+    from go_crawler_spark.functions.multimodal import (
+        SNIFF_N_DOCS,
+        q_payload_header_sniff,
+    )
+
+    rows = {r["doc_id"]: r for r in q_payload_header_sniff(spark, sf_small).collect()}
+    assert len(rows) == SNIFF_N_DOCS
+    for did, r in rows.items():
+        p = codec.payload_for(f"doc-{did}")
+        assert r["magic_ok"] is True
+        assert (r["fmt"], r["w"], r["h"]) == (p["fmt"], p["w"], p["h"]), did
+        assert r["n_bytes"] == len(p["bytes"])
+    # u16 high-byte engagement: parse an @x8 payload (dims up to 512)
+    big = codec.payload_for("doc-0@x8")
+    assert max(big["w"], big["h"]) > 255, "scenario must exceed one byte"
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from go_crawler_spark.functions.multimodal import _u16le
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"bytes": [big["bytes"]]})
+    ).select(_u16le(F.col("bytes"), 6).alias("w"), _u16le(F.col("bytes"), 8).alias("h"))
+    got = df.collect()[0]
+    assert (got["w"], got["h"]) == (big["w"], big["h"])

@@ -252,6 +252,42 @@ AUDITED = {
         ["TakeOrderedAndProject", "BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # image curation gate: one Arrow fetch kernel, then pure JVM rule
+    # expressions — no join, no aggregate, no shuffle of any kind
+    "image_filter_gate": (
+        ["MapInPandas"],
+        ["Exchange", "CartesianProduct", "BroadcastNestedLoopJoin",
+         "SortMergeJoin"],
+    ),
+    # sequence packing: the whole point is NO single-partition global
+    # window — the bucket offsets broadcast back and the row-level
+    # window is partitioned by bucket
+    "seq_pack": (
+        ["BroadcastHashJoin", "Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # quantile sketch: one ≤256-row partial+final aggregate off the
+    # scan; everything after runs on sketch-sized frames (the coverage
+    # probe is a broadcast range-join — a BNLJ over ≤256×3 rows is the
+    # intended plan, not a scale bug)
+    "quantile_sketch": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # inverted index: posting-head rank must be a Window (spillable
+    # sort), never an unbounded per-term collect_list; both aggregates
+    # key on the term
+    "inverted_index": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # header sniff: one Python stage (payload synth only), then pure
+    # JVM expressions — the parse itself must not shuffle or re-enter
+    # Python (exactly one MapInPandas in the plan)
+    "payload_header_sniff": (
+        ["MapInPandas"],
+        ["Exchange", "CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
