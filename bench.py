@@ -170,6 +170,9 @@ def main() -> None:
         "quantile_sketch",  # mergeable histogram percentiles
         "inverted_index",  # posting-table build (bounded top-k state)
         "payload_header_sniff",  # JVM-only binary header parse
+        "sitemap_parse",  # urlset render+parse narrow map
+        "refetch_schedule",  # change-rate re-crawl intervals
+        "anchor_text_topk",  # per-target anchor aggregation
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

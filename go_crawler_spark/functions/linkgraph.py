@@ -129,3 +129,44 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority analog at web scale)."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return pagerank(docs, link_edges(docs))
+
+
+ANCHOR_TOPK = 3  # anchor variants kept per target URL
+ANCHOR_MOD = 17  # distinct anchor-text classes in the synthetic graph
+
+
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: for every link target, the top-k anchor
+    texts pointing at it, by count with a deterministic tie-break —
+    the classic web-search signal (anchor text describes the TARGET,
+    so search indexes aggregate it per destination; Brin & Page 1998
+    §2.2). The reference extracts links without anchors (SURVEY.md §2
+    A4); this is the web-scale enrichment of that edge table.
+
+    Shape: edges get their anchor class map-side, one partial-agg
+    groupBy (dst, anchor) → counts, then a window rank over the
+    PRE-AGGREGATED rows (≤ ANCHOR_MOD per dst, bounded state — never
+    a collect_list of raw anchors) keeps the top ANCHOR_TOPK. At
+    10^12 edges only (dst, anchor-class) pairs ever shuffle twice."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = link_edges(docs)
+    counted = (
+        edges.select(
+            "dst",
+            F.concat(
+                F.lit("anchor-"), (F.col("src") % ANCHOR_MOD).cast("string")
+            ).alias("anchor"),
+        )
+        .groupBy("dst", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= ANCHOR_TOPK)
+        .select("dst", "rnk", "anchor", "cnt")
+    )

@@ -547,3 +547,105 @@ def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_rule").isNotNull().alias("blocked"),
         "matched_rule",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap.xml parse (north-rule crawl surface, sibling of robots.txt:
+# the reference fetches list pages to discover detail URLs
+# (/root/reference/internal/usecase/crawler.go list-link extraction);
+# a web-scale frontier additionally ingests sitemaps — the protocol's
+# bulk discovery channel — so the parse belongs next to robots_parse)
+# ---------------------------------------------------------------------------
+
+# sitemaps.org changefreq → re-fetch seconds (crawl-scheduler hint)
+SITEMAP_FREQS = ("always", "hourly", "daily", "weekly", "monthly", "yearly")
+SITEMAP_FREQ_SEC = (60, 3600, 86400, 604800, 2592000, 31536000)
+
+
+def _freq_to_sec(freq: Column) -> Column:
+    out = F.lit(None).cast("long")
+    for name, sec in zip(SITEMAP_FREQS, SITEMAP_FREQ_SEC):
+        out = F.when(freq == name, F.lit(sec).cast("long")).otherwise(out)
+    return out
+
+
+def sitemap_cols(xml: Column) -> dict[str, Column]:
+    """Parse a sitemaps.org urlset body: per-entry <loc>, <lastmod>,
+    <changefreq>, <priority>, reduced to the columns a frontier
+    scheduler consumes. All Catalyst (regexp_extract_all + array
+    folds); the XML body never leaves the executor that scanned it."""
+    locs = F.regexp_extract_all(xml, F.lit(r"<loc>([^<]*)</loc>"), 1)
+    lastmods = F.regexp_extract_all(xml, F.lit(r"<lastmod>([^<]*)</lastmod>"), 1)
+    freqs = F.regexp_extract_all(
+        xml, F.lit(r"<changefreq>([^<]*)</changefreq>"), 1
+    )
+    prios = F.regexp_extract_all(xml, F.lit(r"<priority>([^<]*)</priority>"), 1)
+    return {
+        "n_urls": F.size(locs).cast("long"),
+        "first_loc": F.element_at(locs, 1),
+        # ISO dates are zero-padded → lexicographic max == newest
+        "lastmod_max": F.array_max(lastmods),
+        # "0.5" → 5, "1.0" → 10: drop the dot, cast (zero-pad safe)
+        "max_priority_tenths": F.array_max(
+            F.transform(
+                prios,
+                lambda p: F.replace(p, F.lit("."), F.lit("")).cast("long"),
+            )
+        ),
+        "min_refetch_sec": F.array_min(F.transform(freqs, _freq_to_sec)),
+    }
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion: synthesize a urlset XML per supplier host
+    (entry count, dates, changefreq and priority all keyed off
+    s_suppkey so the DuckDB oracle renders the identical body), then
+    parse it back into frontier-scheduler columns. Narrow map end to
+    end — one scan, zero shuffles; at 100 TB each sitemap body is
+    parsed where it lands and only the ~40-byte summary row survives."""
+    sup = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+
+    def entry(j: Column) -> Column:
+        month = F.lpad(((k * 7 + j) % 12 + 1).cast("string"), 2, "0")
+        day = F.lpad(((k + j * 3) % 28 + 1).cast("string"), 2, "0")
+        tenths = (k + j) % 10 + 1
+        prio = F.when(tenths == 10, F.lit("1.0")).otherwise(
+            F.concat(F.lit("0."), tenths.cast("string"))
+        )
+        freq = F.element_at(
+            F.array(*[F.lit(s) for s in SITEMAP_FREQS]),
+            ((k + j) % 6 + 1).cast("int"),
+        )
+        return F.concat(
+            F.lit("<url><loc>https://host-"),
+            k.cast("string"),
+            F.lit(".example.com/page/"),
+            j.cast("string"),
+            F.lit("</loc><lastmod>2024-"),
+            month,
+            F.lit("-"),
+            day,
+            F.lit("</lastmod><changefreq>"),
+            freq,
+            F.lit("</changefreq><priority>"),
+            prio,
+            F.lit("</priority></url>\n"),
+        )
+
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1).cast("long"), k % 5 + 1), entry), ""
+        ),
+        F.lit("</urlset>"),
+    )
+    cols = sitemap_cols(F.col("sitemap_xml"))
+    return sup.select("s_suppkey", xml.alias("sitemap_xml")).select(
+        "s_suppkey",
+        cols["n_urls"].alias("n_urls"),
+        cols["first_loc"].alias("first_loc"),
+        cols["lastmod_max"].alias("lastmod_max"),
+        cols["max_priority_tenths"].alias("max_priority_tenths"),
+        cols["min_refetch_sec"].alias("min_refetch_sec"),
+    )

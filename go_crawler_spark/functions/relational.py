@@ -378,3 +378,72 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("click_us") - F.col("start_us")).alias("offset_us"),
         )
     )
+
+
+# re-fetch interval clamp bounds (seconds) and base period
+REFETCH_BASE_SEC = 3600
+REFETCH_MIN_SEC = 300
+REFETCH_MAX_SEC = 604_800
+
+
+def q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-crawl scheduling (Cho & Garcia-Molina 2003 shape):
+    per URL, estimate the content change rate from its fetch history
+    and derive the next politeness-bounded re-fetch time. The reference
+    crawls each URL once (status whitelist, SURVEY.md §2 B11); a
+    continuous frontier instead re-enqueues URLs at an interval
+    inversely proportional to their observed change frequency.
+
+    ``events`` stands in for the fetch log (user_id = URL id, one row
+    per historical fetch); the changed-since-last-fetch flag is a
+    deterministic MINSTD residue of event_id so the oracle replays it
+    bit-for-bit. interval = clamp(BASE · n_fetch / (n_changed+1),
+    MIN, MAX) in exact integer floor-division — a frequently-changing
+    URL (n_changed → n_fetch) converges to ~BASE, a static one is
+    back-off-capped at MAX.
+
+    Scale shape: one partial-aggregated groupBy on the URL key (the
+    8-byte id is the only shuffled payload), then a narrow clamp map —
+    the same plan at 10^10 URLs."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    ev = load(spark, sf_dir, "events")
+    changed = F.when(
+        (F.col("event_id") * 48271 + 7) % 97 < 32, F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    hist = (
+        ev.select(
+            F.col("user_id").alias("url_id"),
+            changed.alias("changed"),
+            # NTZ → session-UTC timestamp → epoch seconds via exact
+            # integer floor-division (oracle mirrors: epoch_us // 1e6)
+            _floordiv(
+                F.unix_micros(F.col("ts").cast("timestamp")),
+                F.lit(1_000_000).cast("long"),
+            ).alias("ts_sec"),
+        )
+        .groupBy("url_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fetch"),
+            F.sum("changed").alias("n_changed"),
+            F.max("ts_sec").alias("last_fetch_sec"),
+        )
+    )
+    raw = _floordiv(
+        F.col("n_fetch") * REFETCH_BASE_SEC, F.col("n_changed") + 1
+    )
+    refetch = F.least(
+        F.lit(REFETCH_MAX_SEC).cast("long"),
+        F.greatest(F.lit(REFETCH_MIN_SEC).cast("long"), raw),
+    )
+    return hist.select(
+        "url_id",
+        "n_fetch",
+        "n_changed",
+        refetch.alias("refetch_sec"),
+        (F.col("last_fetch_sec") + refetch).alias("next_fetch_sec"),
+        F.when(refetch <= 3600, "hot")
+        .when(refetch <= 86400, "daily")
+        .otherwise("cold")
+        .alias("band"),
+    )

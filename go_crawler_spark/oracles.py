@@ -2243,3 +2243,127 @@ SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
        CAST(g.n_bytes AS BIGINT) AS n_bytes
 FROM golden g JOIN documents d ON d.doc_id = g.doc_id
 """
+
+
+# --- sitemap.xml parse -------------------------------------------------------
+# The oracle renders the IDENTICAL urlset body (same s_suppkey-keyed
+# entry count / dates / changefreq / priority) and re-parses it with
+# DuckDB regexp/list functions — both the renderer and the parser are
+# independently derived.
+
+_SITEMAP_ENTRY = (
+    "'<url><loc>https://host-' || CAST(k AS VARCHAR)"
+    " || '.example.com/page/' || CAST(j AS VARCHAR)"
+    " || '</loc><lastmod>2024-'"
+    " || lpad(CAST((k * 7 + j) % 12 + 1 AS VARCHAR), 2, '0') || '-'"
+    " || lpad(CAST((k + j * 3) % 28 + 1 AS VARCHAR), 2, '0')"
+    " || '</lastmod><changefreq>'"
+    " || ['always','hourly','daily','weekly','monthly','yearly']"
+    "[(k + j) % 6 + 1]"
+    " || '</changefreq><priority>'"
+    " || CASE WHEN (k + j) % 10 + 1 = 10 THEN '1.0'"
+    "         ELSE '0.' || CAST((k + j) % 10 + 1 AS VARCHAR) END"
+    " || '</priority></url>' || chr(10)"
+)
+
+SITEMAP_PARSE = f"""
+WITH rendered AS (
+  SELECT s_suppkey,
+         '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10)
+         || array_to_string(list_transform(
+              generate_series(1, s_suppkey % 5 + 1),
+              j -> {_SITEMAP_ENTRY}), '')
+         || '</urlset>' AS sitemap_xml
+  FROM (SELECT s_suppkey, s_suppkey AS k FROM supplier)),
+parsed AS (
+  SELECT s_suppkey,
+         regexp_extract_all(sitemap_xml, '<loc>([^<]*)</loc>', 1) AS locs,
+         regexp_extract_all(sitemap_xml,
+                            '<lastmod>([^<]*)</lastmod>', 1) AS lastmods,
+         regexp_extract_all(sitemap_xml,
+                            '<changefreq>([^<]*)</changefreq>', 1) AS freqs,
+         regexp_extract_all(sitemap_xml,
+                            '<priority>([^<]*)</priority>', 1) AS prios
+  FROM rendered)
+SELECT s_suppkey,
+       CAST(len(locs) AS BIGINT) AS n_urls,
+       locs[1] AS first_loc,
+       list_max(lastmods) AS lastmod_max,
+       list_max(list_transform(
+           prios, p -> CAST(replace(p, '.', '') AS BIGINT)))
+         AS max_priority_tenths,
+       list_min(list_transform(freqs, f -> CAST(
+           CASE f WHEN 'always' THEN 60 WHEN 'hourly' THEN 3600
+                  WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+                  WHEN 'monthly' THEN 2592000 ELSE 31536000 END
+           AS BIGINT))) AS min_refetch_sec
+FROM parsed
+"""
+
+
+# --- incremental re-fetch scheduling ----------------------------------------
+# interval = clamp(BASE·n_fetch/(n_changed+1), MIN, MAX) in exact
+# integer floor division; the changed flag is a MINSTD residue of
+# event_id replayed identically here.
+
+REFETCH_SCHEDULE = """
+WITH hist AS (
+  SELECT user_id AS url_id,
+         CAST(COUNT(*) AS BIGINT) AS n_fetch,
+         CAST(SUM(CASE WHEN (event_id * 48271 + 7) % 97 < 32
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         MAX(CAST(epoch_us(ts) AS BIGINT) // 1000000) AS last_fetch_sec
+  FROM events GROUP BY user_id),
+calc AS (
+  SELECT *,
+         least(604800, greatest(300,
+               (n_fetch * 3600) // (n_changed + 1))) AS refetch_sec
+  FROM hist)
+SELECT url_id, n_fetch, n_changed,
+       CAST(refetch_sec AS BIGINT) AS refetch_sec,
+       CAST(last_fetch_sec + refetch_sec AS BIGINT) AS next_fetch_sec,
+       CASE WHEN refetch_sec <= 3600 THEN 'hot'
+            WHEN refetch_sec <= 86400 THEN 'daily'
+            ELSE 'cold' END AS band
+FROM calc
+"""
+
+
+# --- anchor-text top-k per target --------------------------------------------
+# Same LCG edge synthesis as LINK_PAGERANK (PR_FANOUT/PR_LCG_* constants
+# interpolated below), then count per (dst, anchor-class) and keep the
+# top ANCHOR_TOPK by (count DESC, anchor ASC) — a total order, so the
+# row set is engine-independent.
+
+from go_crawler_spark.functions.linkgraph import (  # noqa: E402
+    ANCHOR_MOD,
+    ANCHOR_TOPK,
+    PR_FANOUT,
+    PR_LCG_A,
+    PR_LCG_C,
+    PR_LCG_K,
+)
+
+ANCHOR_TEXT_TOPK = f"""
+WITH n AS (SELECT COUNT(*) AS n_nodes FROM documents),
+cand AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C})
+           % n.n_nodes AS dst0,
+         n.n_nodes AS n_nodes
+  FROM documents d, n, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n_nodes ELSE dst0 END AS dst
+  FROM cand),
+counted AS (
+  SELECT dst, 'anchor-' || CAST(src % {ANCHOR_MOD} AS VARCHAR) AS anchor,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM edges GROUP BY dst, anchor),
+ranked AS (
+  SELECT dst, anchor, cnt,
+         CAST(row_number() OVER (PARTITION BY dst
+              ORDER BY cnt DESC, anchor ASC) AS BIGINT) AS rnk
+  FROM counted)
+SELECT dst, rnk, anchor, cnt FROM ranked WHERE rnk <= {ANCHOR_TOPK}
+"""

@@ -143,6 +143,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_payload_header_sniff,
         oracles.PAYLOAD_HEADER_SNIFF,
     ),
+    # sitemap.xml ingestion (bulk-discovery sibling of robots_parse;
+    # narrow map — the XML body never leaves its scan partition)
+    "sitemap_parse": (parsing.q_sitemap_parse, oracles.SITEMAP_PARSE),
+    # change-rate re-fetch scheduling (Cho & Garcia-Molina shape:
+    # one 8-byte-keyed groupBy + integer clamp map)
+    "refetch_schedule": (
+        relational.q_refetch_schedule,
+        oracles.REFETCH_SCHEDULE,
+    ),
+    # per-target anchor-text top-k (bounded window over pre-agg rows)
+    "anchor_text_topk": (linkgraph.q_anchor_text_topk, oracles.ANCHOR_TEXT_TOPK),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

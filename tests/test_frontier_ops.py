@@ -1,0 +1,90 @@
+"""Semantic invariants for the round-4 frontier-maintenance additions:
+sitemap ingestion, change-rate re-fetch scheduling, and anchor-text
+aggregation. Value-hash parity vs DuckDB lives in the oracle suite;
+these pin the properties a hash can't express (clamp bounds, rank
+contiguity, tie-break direction, per-key reconstruction)."""
+
+from collections import Counter
+
+from go_crawler_spark.functions.linkgraph import (
+    ANCHOR_MOD,
+    ANCHOR_TOPK,
+    link_edges,
+    q_anchor_text_topk,
+)
+from go_crawler_spark.functions.parsing import (
+    SITEMAP_FREQ_SEC,
+    q_sitemap_parse,
+)
+from go_crawler_spark.functions.relational import (
+    REFETCH_BASE_SEC,
+    REFETCH_MAX_SEC,
+    REFETCH_MIN_SEC,
+    q_refetch_schedule,
+)
+from go_crawler_spark.tables import load
+
+
+def test_sitemap_parse_reconstructs_rendered_entries(spark, sf_small):
+    rows = q_sitemap_parse(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        k = r["s_suppkey"]
+        n = k % 5 + 1
+        assert r["n_urls"] == n
+        assert r["first_loc"] == f"https://host-{k}.example.com/page/1"
+        # recompute the per-entry fields the renderer keyed off (k, j)
+        lastmods = [
+            f"2024-{(k * 7 + j) % 12 + 1:02d}-{(k + j * 3) % 28 + 1:02d}"
+            for j in range(1, n + 1)
+        ]
+        assert r["lastmod_max"] == max(lastmods)
+        assert r["max_priority_tenths"] == max(
+            (k + j) % 10 + 1 for j in range(1, n + 1)
+        )
+        assert r["min_refetch_sec"] == min(
+            SITEMAP_FREQ_SEC[(k + j) % 6] for j in range(1, n + 1)
+        )
+
+
+def test_refetch_schedule_clamp_and_band(spark, sf_small):
+    rows = q_refetch_schedule(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        expect = max(
+            REFETCH_MIN_SEC,
+            min(
+                REFETCH_MAX_SEC,
+                REFETCH_BASE_SEC * r["n_fetch"] // (r["n_changed"] + 1),
+            ),
+        )
+        assert r["refetch_sec"] == expect
+        assert 0 <= r["n_changed"] <= r["n_fetch"]
+        # next = last observed fetch + interval, and last is a real epoch
+        assert r["next_fetch_sec"] - r["refetch_sec"] > 0
+        band = (
+            "hot"
+            if r["refetch_sec"] <= 3600
+            else "daily"
+            if r["refetch_sec"] <= 86400
+            else "cold"
+        )
+        assert r["band"] == band
+
+
+def test_anchor_text_topk_matches_bruteforce(spark, sf_small):
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    edges = [(r["src"], r["dst"]) for r in link_edges(docs).collect()]
+    counts: dict[int, Counter] = {}
+    for src, dst in edges:
+        counts.setdefault(dst, Counter())[f"anchor-{src % ANCHOR_MOD}"] += 1
+    expect = {}
+    for dst, ctr in counts.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rnk, (anchor, cnt) in enumerate(ranked[:ANCHOR_TOPK], start=1):
+            expect[(dst, rnk)] = (anchor, cnt)
+    got = {
+        (r["dst"], r["rnk"]): (r["anchor"], r["cnt"])
+        for r in q_anchor_text_topk(spark, sf_small).collect()
+    }
+    assert got == expect

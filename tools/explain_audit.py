@@ -288,6 +288,25 @@ AUDITED = {
         ["MapInPandas"],
         ["Exchange", "CartesianProduct", "SortMergeJoin"],
     ),
+    # sitemap ingestion: render + regexp-parse are one narrow map —
+    # the XML body must never cross an Exchange
+    "sitemap_parse": (
+        ["Project", "Scan parquet"],
+        ["Exchange", "CartesianProduct", "SortMergeJoin"],
+    ),
+    # re-fetch scheduling: exactly one partial+final aggregate keyed
+    # on the 8-byte url id, then a narrow clamp projection
+    "refetch_schedule": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "BroadcastNestedLoopJoin",
+         "Window"],
+    ),
+    # anchor-text top-k: the rank Window must sit on PRE-AGGREGATED
+    # (dst, anchor) counts (HashAggregate before it), never raw edges
+    "anchor_text_topk": (
+        ["HashAggregate", "Window", "row_number"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
