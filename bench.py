@@ -173,6 +173,8 @@ def main() -> None:
         "sitemap_parse",  # urlset render+parse narrow map
         "refetch_schedule",  # change-rate re-crawl intervals
         "anchor_text_topk",  # per-target anchor aggregation
+        "crawl_trap_templates",  # per-template distinct-URL caps
+        "tfidf_topk_terms",  # per-doc salient terms (integer idf)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -649,3 +649,73 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["max_priority_tenths"].alias("max_priority_tenths"),
         cols["min_refetch_sec"].alias("min_refetch_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap defense: per-(host, URL-template) distinct-URL caps. The
+# canonical anti-trap control on a production frontier — calendars,
+# session ids and faceted search mint unbounded distinct URLs under one
+# path template, and the scheduler caps fetches per template instead of
+# drowning (the reference is immune only because its URL space is a
+# fixed config, SURVEY.md §1.4; at 10^10 URLs the cap IS the defense).
+# ---------------------------------------------------------------------------
+
+TRAP_TEMPLATE_CAP = 16  # distinct URLs tolerated per (host, template)
+
+
+def q_crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile discovered URLs by (host, digit-normalized template):
+    distinct-URL count, raw hit count, over-cap flag and excess. URLs
+    are synthesized from ``orders`` with four deliberately different
+    template classes (product pages, calendar pages, bounded tag
+    pages, session-id links) so the cap separates them.
+
+    Scale shape: template normalization is a narrow regexp map; the
+    only shuffle keys on (host, template) with partial aggregation —
+    raw URLs never shuffle (count + count_distinct aggregate them
+    map-side first). Output is template-cardinality, not URL-
+    cardinality."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    path = (
+        F.when(k % 4 == 0, F.concat(F.lit("/p/"), k.cast("string")))
+        .when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("/cal/"),
+                (k % 50 + 2000).cast("string"),
+                F.lit("/"),
+                (k % 12 + 1).cast("string"),
+            ),
+        )
+        .when(k % 4 == 2, F.concat(F.lit("/tag/"), (k % 30).cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("/s/"), ((k * 2654435761) % 1000000007).cast("string")
+            )
+        )
+    )
+    urls = orders.select(
+        F.format_string("shop%d.example.com", F.col("o_custkey") % 20).alias(
+            "host"
+        ),
+        path.alias("path"),
+    ).select(
+        "host",
+        "path",
+        F.regexp_replace("path", "[0-9]+", "N").alias("template"),
+    )
+    prof = urls.groupBy("host", "template").agg(
+        F.countDistinct("path").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    return prof.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_hits",
+        (F.col("n_urls") > TRAP_TEMPLATE_CAP).alias("over_cap"),
+        F.greatest(
+            F.lit(0).cast("long"), F.col("n_urls") - TRAP_TEMPLATE_CAP
+        ).alias("excess_urls"),
+    )

@@ -164,3 +164,56 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(posts, "term")
         .select("term", "df", "tf_total", "top_postings")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-document salient terms — the df-penalized (tf-idf-shaped) ranking
+# that doc-level retrieval/labeling pipelines materialize next to the
+# inverted index. The idf surrogate is integer-exact floor(1e6/df)
+# (monotone in 1/df like log-idf, but engine-independent — no libm log
+# whose last bit could differ between JVM and DuckDB).
+# --------------------------------------------------------------------------
+
+TFIDF_TOPK = 3  # salient terms kept per document
+TFIDF_IDF_SCALE = 1_000_000
+
+
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, rnk, term, score) — top TFIDF_TOPK terms per doc by
+    score = tf · floor(1e6/df), ties broken term-ascending.
+
+    Scale shape: (doc, term, tf) and (term, df) are the inverted
+    index's own aggregates (both shuffles key on the term / doc-term
+    hash); the df side joins back BY TERM (pre-aggregated, one row per
+    term — bounded), and the final Window partitions by doc_id over
+    rows bounded by the doc's distinct-term count. No unbounded
+    aggregation state, no driver-side vocab."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = tf.join(df_tbl, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf")
+            * _floordiv(
+                F.lit(TFIDF_IDF_SCALE).cast("long"), F.col("df")
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "rnk", "term", "score")
+    )

@@ -2367,3 +2367,67 @@ ranked AS (
   FROM counted)
 SELECT dst, rnk, anchor, cnt FROM ranked WHERE rnk <= {ANCHOR_TOPK}
 """
+
+
+# --- crawl-trap template profiling --------------------------------------------
+# Same four URL template classes synthesized from orders (keys replayed
+# exactly), digit-normalized to a template, then distinct-URL counts
+# with the identical over-cap rule. All integer.
+
+from go_crawler_spark.functions.parsing import (  # noqa: E402
+    TRAP_TEMPLATE_CAP,
+)
+
+CRAWL_TRAP_TEMPLATES = f"""
+WITH urls AS (
+  SELECT printf('shop%d.example.com', o_custkey % 20) AS host,
+         CASE o_orderkey % 4
+           WHEN 0 THEN '/p/' || CAST(o_orderkey AS VARCHAR)
+           WHEN 1 THEN '/cal/' || CAST(o_orderkey % 50 + 2000 AS VARCHAR)
+                    || '/' || CAST(o_orderkey % 12 + 1 AS VARCHAR)
+           WHEN 2 THEN '/tag/' || CAST(o_orderkey % 30 AS VARCHAR)
+           ELSE '/s/' || CAST((o_orderkey * 2654435761) % 1000000007
+                              AS VARCHAR)
+         END AS path
+  FROM orders),
+prof AS (
+  SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+         CAST(count(DISTINCT path) AS BIGINT) AS n_urls,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM urls GROUP BY 1, 2)
+SELECT host, template, n_urls, n_hits,
+       n_urls > {TRAP_TEMPLATE_CAP} AS over_cap,
+       CAST(greatest(0, n_urls - {TRAP_TEMPLATE_CAP}) AS BIGINT)
+         AS excess_urls
+FROM prof
+"""
+
+
+# --- per-doc salient terms (tf-idf-shaped top-k) -------------------------------
+# Same tokenizer CTE as the inverted-index oracle; score is the
+# integer-exact tf * (SCALE // df) so no libm log enters either engine.
+
+from go_crawler_spark.functions.search import (  # noqa: E402
+    TFIDF_IDF_SCALE,
+    TFIDF_TOPK,
+)
+
+TFIDF_TOPK_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_LOWER}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+dfp AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * ({TFIDF_IDF_SCALE} // dfp.df) AS BIGINT) AS score
+  FROM tf JOIN dfp USING (term)),
+ranked AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored)
+SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= {TFIDF_TOPK}
+"""

@@ -154,6 +154,15 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # per-target anchor-text top-k (bounded window over pre-agg rows)
     "anchor_text_topk": (linkgraph.q_anchor_text_topk, oracles.ANCHOR_TEXT_TOPK),
+    # crawl-trap defense: per-(host, digit-normalized template)
+    # distinct-URL caps — output is template-cardinality, never URLs
+    "crawl_trap_templates": (
+        parsing.q_crawl_trap_templates,
+        oracles.CRAWL_TRAP_TEMPLATES,
+    ),
+    # per-doc salient terms: tf · floor(SCALE/df), integer-exact idf
+    # surrogate; window ranks pre-aggregated (doc, term) rows only
+    "tfidf_topk_terms": (search.q_tfidf_topk_terms, oracles.TFIDF_TOPK_TERMS),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

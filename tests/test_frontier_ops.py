@@ -88,3 +88,88 @@ def test_anchor_text_topk_matches_bruteforce(spark, sf_small):
         for r in q_anchor_text_topk(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_crawl_trap_templates_matches_bruteforce(spark, sf_small):
+    from go_crawler_spark.functions.parsing import (
+        TRAP_TEMPLATE_CAP,
+        q_crawl_trap_templates,
+    )
+    import re
+
+    keys = [
+        (r["o_orderkey"], r["o_custkey"])
+        for r in load(spark, sf_small, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    ]
+    urls: dict[tuple[str, str], set] = {}
+    hits: Counter = Counter()
+    for k, ck in keys:
+        if k % 4 == 0:
+            path = f"/p/{k}"
+        elif k % 4 == 1:
+            path = f"/cal/{k % 50 + 2000}/{k % 12 + 1}"
+        elif k % 4 == 2:
+            path = f"/tag/{k % 30}"
+        else:
+            path = f"/s/{(k * 2654435761) % 1000000007}"
+        host = f"shop{ck % 20}.example.com"
+        tmpl = re.sub(r"[0-9]+", "N", path)
+        urls.setdefault((host, tmpl), set()).add(path)
+        hits[(host, tmpl)] += 1
+    got = {
+        (r["host"], r["template"]): (
+            r["n_urls"],
+            r["n_hits"],
+            r["over_cap"],
+            r["excess_urls"],
+        )
+        for r in q_crawl_trap_templates(spark, sf_small).collect()
+    }
+    expect = {
+        key: (
+            len(paths),
+            hits[key],
+            len(paths) > TRAP_TEMPLATE_CAP,
+            max(0, len(paths) - TRAP_TEMPLATE_CAP),
+        )
+        for key, paths in urls.items()
+    }
+    assert got == expect
+    # the cap actually separates the template classes: unbounded-id
+    # classes (/p/N, /s/N) blow the cap, the bounded ones don't
+    assert got[("shop0.example.com", "/p/N")][2] is True
+    assert got[("shop0.example.com", "/tag/N")][2] is False
+
+
+def test_tfidf_topk_terms_matches_bruteforce(spark, sf_small):
+    from go_crawler_spark.functions.search import (
+        TFIDF_IDF_SCALE,
+        TFIDF_TOPK,
+        q_tfidf_topk_terms,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    tf: dict[int, Counter] = {
+        d: Counter(t.lower() for t in text.split()) for d, text in docs.items()
+    }
+    df: Counter = Counter()
+    for ctr in tf.values():
+        df.update(ctr.keys())
+    expect = {}
+    for d, ctr in tf.items():
+        scored = sorted(
+            ((t, c * (TFIDF_IDF_SCALE // df[t])) for t, c in ctr.items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        for rnk, (term, score) in enumerate(scored[:TFIDF_TOPK], start=1):
+            expect[(d, rnk)] = (term, score)
+    got = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["score"])
+        for r in q_tfidf_topk_terms(spark, sf_small).collect()
+    }
+    assert got == expect

@@ -307,6 +307,20 @@ AUDITED = {
         ["HashAggregate", "Window", "row_number"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # crawl-trap profiling: template normalization is map-side; the
+    # only shuffle keys on (host, template) with partial aggregation —
+    # raw URLs never rank through a Window
+    "crawl_trap_templates": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # tf-idf top-k: the df side joins back PRE-AGGREGATED by term and
+    # the rank Window partitions per-doc rows bounded by distinct-term
+    # count — no cross product, no unbounded collect state
+    "tfidf_topk_terms": (
+        ["HashAggregate", "Window", "row_number"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
