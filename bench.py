@@ -175,6 +175,8 @@ def main() -> None:
         "anchor_text_topk",  # per-target anchor aggregation
         "crawl_trap_templates",  # per-template distinct-URL caps
         "tfidf_topk_terms",  # per-doc salient terms (integer idf)
+        "host_budget_waterfill",  # max-min fair fetch-slot split
+        "frontier_snapshot_diff",  # round-over-round CDC diff
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

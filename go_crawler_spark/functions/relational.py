@@ -447,3 +447,148 @@ def q_refetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("cold")
         .alias("band"),
     )
+
+
+# host-budget waterfill: capacity as a fraction of total demand, and
+# the histogram level search that replaces a global per-host sort
+BUDGET_CAP_DIV = 3  # round capacity = total_demand // BUDGET_CAP_DIV
+BUDGET_HOST_MOD = 200  # synthetic host cardinality
+
+
+def q_host_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-min fair (waterfill) fetch-slot allocation across hosts under
+    one global round capacity. The reference rate-limits with a single
+    fixed sleep (/root/reference/internal/usecase/crawler.go:109 — one
+    host, concurrency 1); a web-scale frontier has a global fetch
+    budget per round and must split it across millions of competing
+    hosts so no host starves: every host gets min(demand, level) where
+    the water level is the largest integer T with
+    Σ_h min(d_h, T) ≤ capacity.
+
+    Scale shape: per-host demand is one partial-aggregated groupBy on
+    the host key. The level search then runs on the DEMAND HISTOGRAM —
+    a second groupBy onto distinct demand values — so the only ordered
+    scan (cumulative window) covers distinct-demand-cardinality rows,
+    never a global per-host sort: 10^7 hosts with ~10^4 distinct
+    demands need a 10^4-row window. The chosen level broadcasts back
+    as a one-row join. Sub-level remainder (< number of saturated
+    hosts) is deliberately left as next-round slack instead of ranking
+    all saturated hosts globally for +1s.
+
+    All math is int64 (demands are counts; the level is
+    d* + (cap − used(d*)) // hosts_above with exact floor division), so
+    the DuckDB oracle replays it bit-for-bit. A virtual histogram row
+    at demand 0 (used = 0 ≤ cap) makes the level search total: when
+    even the smallest demand can't be met for everyone, d* = 0 and the
+    level degrades to the flat cap // n_hosts split.
+    """
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    orders = load(spark, sf_dir, "orders")
+    demand = (
+        orders.select(
+            F.format_string(
+                "host-%d.example.com", F.col("o_orderkey") % BUDGET_HOST_MOD
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("demand"))
+    )
+    hist = demand.groupBy("demand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        (F.count(F.lit(1)) * F.col("demand")).cast("long").alias("tot"),
+    )
+    zero = spark.range(1).select(
+        F.lit(0).cast("long").alias("demand"),
+        F.lit(0).cast("long").alias("n_hosts"),
+        F.lit(0).cast("long").alias("tot"),
+    )
+    w = Window.orderBy("demand").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = demand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("demand").cast("long").alias("d_all"),
+    )
+    cum = (
+        hist.unionByName(zero)
+        .withColumn("cum_hosts", F.sum("n_hosts").over(w).cast("long"))
+        .withColumn("cum_tot", F.sum("tot").over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "cap", _floordiv(F.col("d_all"), F.lit(BUDGET_CAP_DIV).cast("long"))
+        )
+        # filling every demand ≤ d fully and capping the rest at d
+        .withColumn(
+            "used",
+            F.col("cum_tot")
+            + (F.col("n_all") - F.col("cum_hosts")) * F.col("demand"),
+        )
+    )
+    level = (
+        cum.filter(F.col("used") <= F.col("cap"))
+        .orderBy(F.col("demand").desc())
+        .limit(1)
+        .select(
+            F.when(
+                F.col("n_all") > F.col("cum_hosts"),
+                F.col("demand")
+                + _floordiv(
+                    F.col("cap") - F.col("used"),
+                    F.col("n_all") - F.col("cum_hosts"),
+                ),
+            )
+            .otherwise(F.col("demand"))
+            .alias("level")
+        )
+    )
+    return demand.crossJoin(F.broadcast(level)).select(
+        "host",
+        "demand",
+        F.least(F.col("demand"), F.col("level")).alias("alloc"),
+        (F.col("demand") > F.col("level")).alias("saturated"),
+        F.col("level").alias("level"),
+    )
+
+
+# snapshot-diff membership/status rules (deterministic key residues)
+SNAPDIFF_DROP_A = 7  # url absent from snapshot A iff key % 7 == 0
+SNAPDIFF_DROP_B = 5  # url absent from snapshot B iff key % 5 == 0
+
+
+def q_frontier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two frontier snapshots: per URL,
+    (old_status, new_status, change ∈ added|removed|status_changed|
+    unchanged). The reference's Redis keyspace mutates in place with no
+    history (/root/reference/internal/infra/crawl_job_client.go:42-82);
+    a snapshot store (crawl/store.py keeps the same commit-marker
+    semantics Iceberg would) makes round-over-round diffs a first-class
+    audit query — what did round k+1 discover, finish, or drop?
+
+    Both snapshots are synthesized from orders with deterministic key
+    residues (membership by %7 / %5, status by %3) so the oracle
+    rebuilds the identical pair. Shape: one full-outer equi-join on the
+    8-byte url key — both sides shuffle-partition on the key, AQE
+    handles skew; no window, no collect."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("url_id")
+    )
+    k = F.col("url_id")
+    snap_a = orders.filter(k % SNAPDIFF_DROP_A != 0).select(
+        "url_id",
+        F.when(k % 3 == 0, "PENDING").otherwise("SUCCESS").alias("old_status"),
+    )
+    snap_b = orders.filter(k % SNAPDIFF_DROP_B != 0).select(
+        "url_id",
+        F.when(k % 3 == 1, "PENDING").otherwise("SUCCESS").alias("new_status"),
+    )
+    joined = snap_a.join(snap_b, "url_id", "full_outer")
+    change = (
+        F.when(F.col("old_status").isNull(), "added")
+        .when(F.col("new_status").isNull(), "removed")
+        .when(F.col("old_status") != F.col("new_status"), "status_changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        "url_id", "old_status", "new_status", change.alias("change")
+    )

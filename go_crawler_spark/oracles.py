@@ -2431,3 +2431,76 @@ ranked AS (
   FROM scored)
 SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= {TFIDF_TOPK}
 """
+
+
+# --- host-budget waterfill ----------------------------------------------------
+# Same demand synthesis, histogram level search and integer flooring;
+# the virtual demand-0 row makes the feasible set non-empty in both
+# engines. Window frames agree because histogram demands are distinct
+# (RANGE vs ROWS equivalence).
+
+from go_crawler_spark.functions.relational import (  # noqa: E402
+    BUDGET_CAP_DIV,
+    BUDGET_HOST_MOD,
+    SNAPDIFF_DROP_A,
+    SNAPDIFF_DROP_B,
+)
+
+HOST_BUDGET_WATERFILL = f"""
+WITH demand AS (
+  SELECT printf('host-%d.example.com', o_orderkey % {BUDGET_HOST_MOD}) AS host,
+         CAST(count(*) AS BIGINT) AS demand
+  FROM orders GROUP BY 1),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(sum(demand) AS BIGINT) AS d_all FROM demand),
+hist AS (
+  SELECT demand, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(count(*) * demand AS BIGINT) AS tot
+  FROM demand GROUP BY 1
+  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+cum AS (
+  SELECT demand,
+         CAST(SUM(n_hosts) OVER (ORDER BY demand) AS BIGINT) AS cum_hosts,
+         CAST(SUM(tot) OVER (ORDER BY demand) AS BIGINT) AS cum_tot
+  FROM hist),
+lvl AS (
+  SELECT c.demand + CASE WHEN t.n_all > c.cum_hosts
+           THEN (t.d_all // {BUDGET_CAP_DIV}
+                 - (c.cum_tot + (t.n_all - c.cum_hosts) * c.demand))
+                // (t.n_all - c.cum_hosts)
+           ELSE 0 END AS level
+  FROM cum c, totals t
+  WHERE c.cum_tot + (t.n_all - c.cum_hosts) * c.demand
+        <= t.d_all // {BUDGET_CAP_DIV}
+  ORDER BY c.demand DESC LIMIT 1)
+SELECT d.host, d.demand,
+       CAST(least(d.demand, l.level) AS BIGINT) AS alloc,
+       d.demand > l.level AS saturated,
+       CAST(l.level AS BIGINT) AS level
+FROM demand d, lvl l
+"""
+
+
+# --- frontier snapshot diff ----------------------------------------------------
+# Identical membership/status residues on both sides of a full-outer
+# join; USING-style coalesced key.
+
+FRONTIER_SNAPSHOT_DIFF = f"""
+WITH a AS (
+  SELECT o_orderkey AS url_id,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'PENDING'
+              ELSE 'SUCCESS' END AS old_status
+  FROM orders WHERE o_orderkey % {SNAPDIFF_DROP_A} <> 0),
+b AS (
+  SELECT o_orderkey AS url_id,
+         CASE WHEN o_orderkey % 3 = 1 THEN 'PENDING'
+              ELSE 'SUCCESS' END AS new_status
+  FROM orders WHERE o_orderkey % {SNAPDIFF_DROP_B} <> 0)
+SELECT COALESCE(a.url_id, b.url_id) AS url_id, a.old_status, b.new_status,
+       CASE WHEN a.url_id IS NULL THEN 'added'
+            WHEN b.url_id IS NULL THEN 'removed'
+            WHEN a.old_status <> b.new_status THEN 'status_changed'
+            ELSE 'unchanged' END AS change
+FROM a FULL OUTER JOIN b ON a.url_id = b.url_id
+"""

@@ -163,6 +163,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # per-doc salient terms: tf · floor(SCALE/df), integer-exact idf
     # surrogate; window ranks pre-aggregated (doc, term) rows only
     "tfidf_topk_terms": (search.q_tfidf_topk_terms, oracles.TFIDF_TOPK_TERMS),
+    # max-min fair fetch-slot allocation (histogram waterfill — the
+    # only window covers distinct-demand rows, never a per-host sort)
+    "host_budget_waterfill": (
+        relational.q_host_budget_waterfill,
+        oracles.HOST_BUDGET_WATERFILL,
+    ),
+    # round-over-round frontier CDC diff (one full-outer equi-join)
+    "frontier_snapshot_diff": (
+        relational.q_frontier_snapshot_diff,
+        oracles.FRONTIER_SNAPSHOT_DIFF,
+    ),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

@@ -173,3 +173,80 @@ def test_tfidf_topk_terms_matches_bruteforce(spark, sf_small):
         for r in q_tfidf_topk_terms(spark, sf_small).collect()
     }
     assert got == expect
+
+
+def test_host_budget_waterfill_invariants(spark, sf_small):
+    from go_crawler_spark.functions.relational import (
+        BUDGET_CAP_DIV,
+        q_host_budget_waterfill,
+    )
+
+    rows = q_host_budget_waterfill(spark, sf_small).collect()
+    assert rows
+    total_demand = sum(r["demand"] for r in rows)
+    cap = total_demand // BUDGET_CAP_DIV
+    level = rows[0]["level"]
+    assert all(r["level"] == level for r in rows)
+    for r in rows:
+        assert r["alloc"] == min(r["demand"], level)
+        assert r["saturated"] == (r["demand"] > level)
+    used = sum(r["alloc"] for r in rows)
+    # feasible: never over capacity
+    assert used <= cap
+    # maximal: level+1 would overshoot (the waterfill optimality bound)
+    assert sum(min(r["demand"], level + 1) for r in rows) > cap
+    # leftover slack is strictly below the saturated-host count
+    # (anything more could have raised someone's allocation)
+    n_saturated = sum(1 for r in rows if r["saturated"])
+    assert cap - used < max(1, n_saturated)
+    # brute-force the true level and compare
+    true_level = 0
+    while sum(min(r["demand"], true_level + 1) for r in rows) <= cap:
+        true_level += 1
+    assert level == true_level
+
+
+def test_frontier_snapshot_diff_matches_bruteforce(spark, sf_small):
+    from go_crawler_spark.functions.relational import (
+        SNAPDIFF_DROP_A,
+        SNAPDIFF_DROP_B,
+        q_frontier_snapshot_diff,
+    )
+
+    keys = [
+        r["o_orderkey"]
+        for r in load(spark, sf_small, "orders").select("o_orderkey").collect()
+    ]
+    expect = {}
+    for k in keys:
+        old = (
+            ("PENDING" if k % 3 == 0 else "SUCCESS")
+            if k % SNAPDIFF_DROP_A != 0
+            else None
+        )
+        new = (
+            ("PENDING" if k % 3 == 1 else "SUCCESS")
+            if k % SNAPDIFF_DROP_B != 0
+            else None
+        )
+        if old is None and new is None:
+            continue
+        change = (
+            "added"
+            if old is None
+            else "removed"
+            if new is None
+            else "status_changed"
+            if old != new
+            else "unchanged"
+        )
+        expect[k] = (old, new, change)
+    got = {
+        r["url_id"]: (r["old_status"], r["new_status"], r["change"])
+        for r in q_frontier_snapshot_diff(spark, sf_small).collect()
+    }
+    assert got == expect
+    # every change class actually occurs at this SF
+    assert {c for _, _, c in got.values()} == {
+        "added", "removed", "status_changed", "unchanged",
+    }

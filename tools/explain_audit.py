@@ -321,6 +321,20 @@ AUDITED = {
         ["HashAggregate", "Window", "row_number"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # waterfill: demand is a partial-agg groupBy; the cumulative Window
+    # runs on the demand HISTOGRAM (+virtual zero row) and the level
+    # joins back as a broadcast one-row side — per-host rows are never
+    # globally sorted (no SortMergeJoin, no per-host Window)
+    "host_budget_waterfill": (
+        ["HashAggregate", "Window", "BroadcastNestedLoopJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # snapshot diff: one full-outer equi-join on the 8-byte url key;
+    # membership/status rules are map-side projections
+    "frontier_snapshot_diff": (
+        ["FullOuter"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
 }
 
 
