@@ -60,7 +60,9 @@ def _run_child(code: str, marker: str, env_over: dict[str, str] | None = None) -
         [sys.executable, "-c", code],
         capture_output=True,
         text=True,
-        timeout=3600,
+        # single-core-executor runs at ≥384 k payloads legitimately
+        # take >1 h; default stays 1 h, big runs raise it via env
+        timeout=int(os.environ.get("SPARK_GRAFT_SCALING_CHILD_TIMEOUT", "3600")),
         check=True,
         env=env,
     )
@@ -137,8 +139,9 @@ def main() -> None:
     # entirely on one level; interleaving spreads it across all three.
     # Best-of-N per level isolates the steady state.
     label = "local-cluster" if local_cluster else "local"
+    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
     raw: dict[int, list[dict]] = {c: [] for c in levels}
-    for i in range(3):
+    for i in range(n_rounds):
         for cpus in levels:
             r = run_at(cpus, n_rows, path, local_cluster=local_cluster)
             raw[cpus].append(r)
