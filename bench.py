@@ -177,6 +177,8 @@ def main() -> None:
         "tfidf_topk_terms",  # per-doc salient terms (integer idf)
         "host_budget_waterfill",  # max-min fair fetch-slot split
         "frontier_snapshot_diff",  # round-over-round CDC diff
+        "ann_matryoshka_topk",  # dimension-cascade ANN scale path
+        "domain_quality_gate",  # site-level curation verdict
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -302,3 +302,62 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Domain-level quality gate (site-level curation à la C4 / RefinedWeb:
+# spammy DOMAINS are dropped wholesale, because per-doc scores on a
+# content-farm host are individually borderline but collectively
+# damning). The keep rule is relative — a domain survives iff its mean
+# quality clears DOMAIN_KEEP_NUM/DOMAIN_KEEP_DEN of the corpus mean —
+# compared by exact integer cross-multiplication, so there is no float
+# division anywhere and the verdict splits at every SF.
+# --------------------------------------------------------------------------
+
+DOMAIN_MOD = 40  # synthetic host cardinality over doc_id
+DOMAIN_KEEP_NUM = 9  # domain mean must clear 9/10 of the corpus mean
+DOMAIN_KEEP_DEN = 10
+
+
+def q_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rows with their domain's aggregate verdict: (doc_id,
+    host, quality, host_n_docs, host_sum_quality, domain_keep) where
+    domain_keep ⇔ host_sum·N_corpus·DEN ≥ sum_corpus·n_host·NUM.
+
+    Scale shape: quality is the existing integer narrow map, computed
+    BEFORE any shuffle, so document text never leaves its scan
+    partition; the only shuffle keys (host, two int64s). The domain
+    verdict table (domain-cardinality rows ≪ docs) and the one-row
+    corpus total are broadcast back — the gate join adds no second
+    shuffle of the fact side at any scale."""
+    from go_crawler_spark.functions.textstats import quality_score
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+    )
+    d = docs.withColumn(
+        "host",
+        F.format_string("site-%d.example.org", F.col("doc_id") % DOMAIN_MOD),
+    )
+    dom = d.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("host_n_docs"),
+        F.sum("quality").cast("long").alias("host_sum_quality"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("g_n"),
+        F.sum("quality").cast("long").alias("g_sum"),
+    )
+    verdict = dom.crossJoin(F.broadcast(g)).select(
+        "host",
+        "host_n_docs",
+        "host_sum_quality",
+        (
+            F.col("host_sum_quality") * F.col("g_n") * DOMAIN_KEEP_DEN
+            >= F.col("g_sum") * F.col("host_n_docs") * DOMAIN_KEEP_NUM
+        ).alias("domain_keep"),
+    )
+    return d.join(F.broadcast(verdict), "host").select(
+        "doc_id", "host", "quality", "host_n_docs", "host_sum_quality",
+        "domain_keep",
+    )

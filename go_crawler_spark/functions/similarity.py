@@ -1080,3 +1080,102 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka prefix-dimension cascade ANN (Kusupati et al. 2022,
+# arXiv:2205.13147): MRL-trained embeddings keep most of their signal
+# in a prefix of the dimensions, so retrieval scans the corpus with a
+# CHEAP truncated-vector score and pays full-dimension cosine only for
+# a small shortlist. This is the fourth scale path in the ANN family —
+# LSH buckets (data-independent), IVF cells (data-derived), PQ codes
+# (compressed-domain), and now the dimension cascade (no index at all:
+# one corpus scan at prefix cost + a broadcast-join rerank).
+# --------------------------------------------------------------------------
+
+MRL_PREFIX = 16  # dims scored in the coarse pass (of ANN_DIM = 64)
+MRL_SHORTLIST = 20  # coarse candidates per query kept for full rerank
+MRL_TOPK = 3
+MRL_DECAY = 8  # dimension-importance decay: dim i weighted DECAY/(DECAY+i)
+
+
+def mrl_corpus(emb: DataFrame) -> DataFrame:
+    """Model what MRL training produces on the synthetic table: scale
+    dim i by DECAY/(DECAY+i) so early dimensions carry most of the
+    norm (raw i.i.d. test embeddings front-load nothing, which would
+    make any prefix score meaningless). Pure double arithmetic with
+    identical operands in both engines → bit-identical weights."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            * (F.lit(float(MRL_DECAY)) / (F.lit(float(MRL_DECAY)) + i.cast("double"))),
+        ).alias("embedding"),
+    )
+
+
+def q_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cascade top-k: rank ALL corpus vectors by cosine over
+    the first MRL_PREFIX dims (4× cheaper per row than full cosine,
+    same one-pass scan shape as the brute baseline), keep the top
+    MRL_SHORTLIST per query, then rerank only those with full-dimension
+    cosine. Ties broken neighbor-id-ascending at both stages, so both
+    stage outputs are total orders the oracle replays exactly.
+
+    Scale shape: the coarse pass is the brute scan with a narrower
+    arithmetic payload — queries broadcast, corpus streams, no corpus
+    shuffle; the rerank touches |Q|·MRL_SHORTLIST rows via a broadcast
+    hash join on vec_id, so full vectors are fetched for shortlisted
+    ids only. Recall loss is confined to prefix-vs-full rank inversions
+    past the shortlist boundary (the documented MRL contract; measured
+    1.0 @ sf0.001/sf0.01 on the decay-weighted corpus,
+    tests/test_extraction.py)."""
+    emb = mrl_corpus(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    pre = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_PREFIX).alias("pvec")
+    )
+    pq = pre.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("pvec").alias("qpre")
+    )
+    coarse = (
+        pre.crossJoin(F.broadcast(pq))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qpre"), F.col("pvec")), 6).alias("pre_sim"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("pre_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        coarse.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= MRL_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    fq = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rer = (
+        emb.join(
+            F.broadcast(short), F.col("vec_id") == F.col("neighbor_id")
+        )
+        .join(F.broadcast(fq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= MRL_TOPK
+    )

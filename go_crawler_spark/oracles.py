@@ -2504,3 +2504,84 @@ SELECT COALESCE(a.url_id, b.url_id) AS url_id, a.old_status, b.new_status,
             ELSE 'unchanged' END AS change
 FROM a FULL OUTER JOIN b ON a.url_id = b.url_id
 """
+
+
+# --- Matryoshka prefix-cascade ANN ---------------------------------------------
+# Same two-stage total order: coarse rank on the dim-prefix slice,
+# shortlist, full-dim rerank; dot/norm folds use the shared helpers so
+# the summation order matches Spark's left fold exactly.
+
+from go_crawler_spark.functions.similarity import (  # noqa: E402
+    MRL_DECAY,
+    MRL_PREFIX,
+    MRL_SHORTLIST,
+    MRL_TOPK,
+)
+
+ANN_MATRYOSHKA_TOPK = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, len(embedding)),
+            i -> CAST(embedding[i] AS DOUBLE)
+                 * ({float(MRL_DECAY)} / ({float(MRL_DECAY)}
+                    + CAST(i - 1 AS DOUBLE)))) AS embedding
+  FROM embeddings),
+p AS (SELECT vec_id, embedding[1:{MRL_PREFIX}] AS pvec FROM e),
+pq AS (SELECT vec_id AS query_id, pvec AS qpre FROM p WHERE vec_id % 100 = 0),
+coarse AS (
+  SELECT pq.query_id, p.vec_id AS neighbor_id,
+         round({_dot_sql('pq.qpre', 'p.pvec')}
+               / ({_norm_sql('pq.qpre')} * {_norm_sql('p.pvec')}), 6)
+           AS pre_sim
+  FROM p CROSS JOIN pq WHERE p.vec_id <> pq.query_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY pre_sim DESC, neighbor_id ASC) AS rn
+    FROM coarse) WHERE rn <= {MRL_SHORTLIST}),
+fq AS (SELECT vec_id AS query_id, embedding AS qvec
+       FROM e WHERE vec_id % 100 = 0),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         round({_dot_sql('fq.qvec', 'e.embedding')}
+               / ({_norm_sql('fq.qvec')} * {_norm_sql('e.embedding')}), 6)
+           AS cos_sim
+  FROM short s
+  JOIN e ON e.vec_id = s.neighbor_id
+  JOIN fq ON fq.query_id = s.query_id)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM rer) WHERE rank <= {MRL_TOPK}
+"""
+
+
+# --- domain-level quality gate --------------------------------------------------
+# Per-doc quality is the QUALITY_SCORE oracle verbatim (nested CTE);
+# the domain verdict is the identical integer cross-multiplication.
+
+from go_crawler_spark.functions.cleaning import (  # noqa: E402
+    DOMAIN_KEEP_DEN,
+    DOMAIN_KEEP_NUM,
+    DOMAIN_MOD,
+)
+
+DOMAIN_QUALITY_GATE = f"""
+WITH q AS ({QUALITY_SCORE}),
+d AS (
+  SELECT doc_id, quality,
+         printf('site-%d.example.org', doc_id % {DOMAIN_MOD}) AS host
+  FROM q),
+dom AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS host_n_docs,
+         CAST(sum(quality) AS BIGINT) AS host_sum_quality
+  FROM d GROUP BY 1),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS g_n,
+         CAST(sum(quality) AS BIGINT) AS g_sum
+  FROM d)
+SELECT d.doc_id, d.host, d.quality, dom.host_n_docs, dom.host_sum_quality,
+       dom.host_sum_quality * g.g_n * {DOMAIN_KEEP_DEN}
+         >= g.g_sum * dom.host_n_docs * {DOMAIN_KEEP_NUM} AS domain_keep
+FROM d JOIN dom USING (host) CROSS JOIN g
+"""

@@ -174,6 +174,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         relational.q_frontier_snapshot_diff,
         oracles.FRONTIER_SNAPSHOT_DIFF,
     ),
+    # Matryoshka dimension-cascade ANN (prefix-cosine scan → shortlist
+    # → full-dim broadcast rerank; the index-free 4th ANN scale path)
+    "ann_matryoshka_topk": (
+        similarity.q_ann_matryoshka_topk,
+        oracles.ANN_MATRYOSHKA_TOPK,
+    ),
+    # site-level curation: relative domain-mean quality verdict joined
+    # back per-doc (text never shuffles; verdict side broadcast)
+    "domain_quality_gate": (
+        cleaning.q_domain_quality_gate,
+        oracles.DOMAIN_QUALITY_GATE,
+    ),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

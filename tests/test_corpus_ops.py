@@ -807,3 +807,32 @@ def test_payload_header_sniff_roundtrip(spark, sf_small):
     ).select(_u16le(F.col("bytes"), 6).alias("w"), _u16le(F.col("bytes"), 8).alias("h"))
     got = df.collect()[0]
     assert (got["w"], got["h"]) == (big["w"], big["h"])
+
+
+def test_domain_quality_gate_verdict_math(spark, sf_small):
+    from go_crawler_spark.functions.cleaning import (
+        DOMAIN_KEEP_DEN,
+        DOMAIN_KEEP_NUM,
+        DOMAIN_MOD,
+        q_domain_quality_gate,
+    )
+
+    rows = q_domain_quality_gate(spark, sf_small).collect()
+    assert rows
+    g_n = len(rows)
+    g_sum = sum(r["quality"] for r in rows)
+    hosts: dict[str, list] = {}
+    for r in rows:
+        assert r["host"] == f"site-{r['doc_id'] % DOMAIN_MOD}.example.org"
+        hosts.setdefault(r["host"], []).append(r)
+    for host, hr in hosts.items():
+        n = len(hr)
+        s = sum(r["quality"] for r in hr)
+        keep = s * g_n * DOMAIN_KEEP_DEN >= g_sum * n * DOMAIN_KEEP_NUM
+        for r in hr:
+            assert r["host_n_docs"] == n
+            assert r["host_sum_quality"] == s
+            assert r["domain_keep"] == keep
+    # the relative rule actually splits the synthetic corpus
+    verdicts = {r["domain_keep"] for r in rows}
+    assert verdicts == {True, False}

@@ -662,3 +662,66 @@ def test_decontaminate_planted(spark, sf_small):
         assert 0 <= r.n_overlap <= r.n_shingles
         if texts[d] in eval_texts and r.n_shingles > 0:
             assert r.n_overlap == r.n_shingles and r.contaminated
+
+
+def test_ann_matryoshka_parity_and_recall(spark, sf_small):
+    """Matryoshka cascade: exact algorithm parity vs an independent
+    numpy replay (coarse prefix rank → shortlist → full-dim rerank,
+    identical rounding and tie-breaks), plus recall vs full-dim
+    brute-force top-k on the same decay-weighted corpus (measured 1.0
+    at sf0.001/sf0.01; floor pinned at 0.8)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_crawler_spark.functions.similarity import (
+        MRL_DECAY,
+        MRL_PREFIX,
+        MRL_SHORTLIST,
+        MRL_TOPK,
+        q_ann_matryoshka_topk,
+    )
+
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    ids = np.array(t["vec_id"])
+    raw = np.array(
+        [np.array(x) for x in t["embedding"].to_pylist()], dtype=np.float64
+    )
+    w = float(MRL_DECAY) / (float(MRL_DECAY) + np.arange(raw.shape[1]))
+    emb = raw * w
+    nrm = np.linalg.norm(emb, axis=1)
+    pnrm = np.linalg.norm(emb[:, :MRL_PREFIX], axis=1)
+
+    def topk(scores, nids, k):
+        order = np.lexsort((nids, -scores))
+        return [(int(n), float(s)) for n, s in
+                zip(nids[order][:k], scores[order][:k])]
+
+    expect = {}
+    recalls = []
+    for qi in np.where(ids % 100 == 0)[0]:
+        mask = ids != ids[qi]
+        nids = ids[mask]
+        full = np.round((emb[mask] @ emb[qi]) / (nrm[mask] * nrm[qi]), 6)
+        pre = np.round(
+            (emb[mask][:, :MRL_PREFIX] @ emb[qi][:MRL_PREFIX])
+            / (pnrm[mask] * pnrm[qi]),
+            6,
+        )
+        shortlist = [n for n, _ in topk(pre, nids, MRL_SHORTLIST)]
+        sl = np.isin(nids, shortlist)
+        mrl = topk(full[sl], nids[sl], MRL_TOPK)
+        for rank, (n, s) in enumerate(mrl, start=1):
+            expect[(int(ids[qi]), rank)] = (n, s)
+        brute = {n for n, _ in topk(full, nids, MRL_TOPK)}
+        recalls.append(len(brute & {n for n, _ in mrl}) / MRL_TOPK)
+
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in q_ann_matryoshka_topk(spark, sf_small).collect()
+    }
+    assert set(got) == set(expect)
+    for key, (nid, sim) in expect.items():
+        gnid, gsim = got[key]
+        assert gnid == nid, (key, nid, gnid)
+        assert abs(gsim - sim) < 1e-9, (key, sim, gsim)
+    assert sum(recalls) / len(recalls) >= 0.8

@@ -335,6 +335,21 @@ AUDITED = {
         ["FullOuter"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
     ),
+    # Matryoshka cascade: coarse pass streams the corpus against
+    # broadcast queries (BNLJ on the tiny side is the sanctioned
+    # broadcast cross); the rerank must be a broadcast hash join on
+    # vec_id — never a corpus shuffle (no SortMergeJoin anywhere)
+    "ann_matryoshka_topk": (
+        ["BroadcastHashJoin", "Window", "row_number"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # domain gate: quality is computed pre-shuffle (text stays in its
+    # scan partition); only (host, ints) aggregate, verdict broadcast
+    # back — no sort join, no window
+    "domain_quality_gate": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
 }
 
 
