@@ -179,6 +179,7 @@ def main() -> None:
         "frontier_snapshot_diff",  # round-over-round CDC diff
         "ann_matryoshka_topk",  # dimension-cascade ANN scale path
         "domain_quality_gate",  # site-level curation verdict
+        "caption_align_gate",  # CLIP-shaped multimodal agreement
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

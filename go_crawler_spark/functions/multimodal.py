@@ -1064,3 +1064,100 @@ def payload_sniff_golden() -> list[tuple[int, str, int, int, int]]:
         p = codec.payload_for(f"doc-{did}")
         out.append((did, p["fmt"], p["w"], p["h"], len(p["bytes"])))
     return out
+
+
+# --------------------------------------------------------------------------
+# Caption–image alignment gate (CLIP-score-shaped curation; the
+# DataComp/LAION pipelines' second multimodal filter after the
+# metadata gate in q_image_filter_gate: drop pairs whose caption does
+# not agree with the image embedding). The caption side is embedded by
+# deterministic feature hashing — token → (dim, ±1) via the shared
+# polynomial hash — and the "CLIP score" is the inner product against
+# a fixed-point integerization of the image embedding, so the whole
+# gate is exact int64 arithmetic: no float SUM whose accumulation
+# order could differ between engines, no cosine boundary.
+# --------------------------------------------------------------------------
+
+ALIGN_FIX = 4096  # power-of-two fixed-point scale: float·4096 floors exactly
+
+
+def q_caption_align_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dot_fixed, cap_norm2, img_norm2, keep): keep ⇔ the
+    hashed-caption / image-embedding inner product is non-negative
+    (cosine sign == dot sign since norms are positive).
+
+    Scale shape: tokens explode map-side and aggregate on (doc_id,
+    dim) — bounded at 64 rows per doc after the partial agg — then one
+    equi-join per doc to fetch the embedding (512 B payload) and a
+    final (doc_id) agg. The embedding's fixed-point fold is an
+    in-array fold (deterministic order); every cross-row SUM is
+    integer, so shuffle order cannot perturb the result."""
+    from go_crawler_spark.functions.similarity import ANN_DIM, poly_hash
+    from go_crawler_spark.functions.textstats import _floordiv, tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * ALIGN_FIX).cast("long"),
+        ).alias("qfix"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    h = poly_hash(F.col("tok"))
+    sparse = (
+        toks.select(
+            "doc_id",
+            (h % ANN_DIM).alias("dim"),
+            F.when(
+                _floordiv(h, F.lit(ANN_DIM).cast("long")) % 2 == 0, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("w"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    dotted = (
+        sparse.join(emb, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("w")
+                * F.element_at(F.col("qfix"), (F.col("dim") + 1).cast("int"))
+            ).alias("contrib"),
+            (F.col("w") * F.col("w")).alias("w2"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").cast("long").alias("dot_fixed"),
+            F.sum("w2").cast("long").alias("cap_norm2"),
+        )
+    )
+    norms = emb.select(
+        "doc_id",
+        F.aggregate(
+            F.col("qfix"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x * x,
+        ).alias("img_norm2"),
+    )
+    return (
+        norms.join(dotted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dot_fixed"), F.lit(0).cast("long")).alias(
+                "dot_fixed"
+            ),
+            F.coalesce(F.col("cap_norm2"), F.lit(0).cast("long")).alias(
+                "cap_norm2"
+            ),
+            "img_norm2",
+            (
+                F.coalesce(F.col("dot_fixed"), F.lit(0).cast("long")) >= 0
+            ).alias("keep"),
+        )
+    )

@@ -2585,3 +2585,48 @@ SELECT d.doc_id, d.host, d.quality, dom.host_n_docs, dom.host_sum_quality,
          >= g.g_sum * dom.host_n_docs * {DOMAIN_KEEP_NUM} AS domain_keep
 FROM d JOIN dom USING (host) CROSS JOIN g
 """
+
+
+# --- caption-image alignment gate ------------------------------------------------
+# Same feature hashing (shared poly fold), same power-of-two fixed
+# point; every cross-row aggregate is integer so accumulation order is
+# irrelevant in both engines.
+
+from go_crawler_spark.functions.multimodal import ALIGN_FIX  # noqa: E402
+from go_crawler_spark.functions.similarity import ANN_DIM  # noqa: E402
+
+CAPTION_ALIGN_GATE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_LOWER}) AS tok FROM documents),
+hashed AS (
+  SELECT doc_id, {_poly_hash_sql('tok')} AS h FROM toks),
+sparse AS (
+  SELECT doc_id, h % {ANN_DIM} AS dim,
+         CAST(SUM(CASE WHEN (h // {ANN_DIM}) % 2 = 0
+                       THEN 1 ELSE -1 END) AS BIGINT) AS w
+  FROM hashed GROUP BY 1, 2),
+fixed AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * {ALIGN_FIX}) AS BIGINT))
+           AS qfix
+  FROM embeddings),
+dotted AS (
+  SELECT s.doc_id,
+         CAST(SUM(s.w * f.qfix[CAST(s.dim + 1 AS INTEGER)]) AS BIGINT)
+           AS dot_fixed,
+         CAST(SUM(s.w * s.w) AS BIGINT) AS cap_norm2
+  FROM sparse s JOIN fixed f USING (doc_id) GROUP BY 1),
+norms AS (
+  SELECT doc_id,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(qfix, x -> x * x)), (a, v) -> a + v)
+           AS BIGINT) AS img_norm2
+  FROM fixed)
+SELECT n.doc_id,
+       COALESCE(t.dot_fixed, 0) AS dot_fixed,
+       COALESCE(t.cap_norm2, 0) AS cap_norm2,
+       n.img_norm2,
+       COALESCE(t.dot_fixed, 0) >= 0 AS keep
+FROM norms n LEFT JOIN dotted t USING (doc_id)
+"""

@@ -186,6 +186,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cleaning.q_domain_quality_gate,
         oracles.DOMAIN_QUALITY_GATE,
     ),
+    # CLIP-score-shaped caption↔image agreement gate (feature-hashed
+    # caption × fixed-point embedding — all-integer inner product)
+    "caption_align_gate": (
+        multimodal.q_caption_align_gate,
+        oracles.CAPTION_ALIGN_GATE,
+    ),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

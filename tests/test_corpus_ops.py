@@ -836,3 +836,48 @@ def test_domain_quality_gate_verdict_math(spark, sf_small):
     # the relative rule actually splits the synthetic corpus
     verdicts = {r["domain_keep"] for r in rows}
     assert verdicts == {True, False}
+
+
+def test_caption_align_gate_matches_bruteforce(spark, sf_small):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from go_crawler_spark.tables import load
+
+    from go_crawler_spark.functions.multimodal import (
+        ALIGN_FIX,
+        q_caption_align_gate,
+    )
+    from go_crawler_spark.functions.similarity import ANN_DIM, _poly_py
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    t = pq.read_table(f"{sf_small}/embeddings.parquet")
+    emb = {
+        int(v): np.array(e, dtype=np.float64)
+        for v, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+    expect = {}
+    for d, qv in emb.items():
+        qfix = np.floor(qv * ALIGN_FIX).astype(np.int64)
+        w = np.zeros(ANN_DIM, dtype=np.int64)
+        for tok in docs.get(d, "").lower().split():
+            h = _poly_py(tok)
+            w[h % ANN_DIM] += 1 if (h // ANN_DIM) % 2 == 0 else -1
+        dot = int(w @ qfix) if np.any(w) else 0
+        expect[d] = (
+            dot,
+            int(w @ w),
+            int(qfix @ qfix),
+            dot >= 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["dot_fixed"], r["cap_norm2"], r["img_norm2"], r["keep"]
+        )
+        for r in q_caption_align_gate(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert {v[3] for v in got.values()} == {True, False}

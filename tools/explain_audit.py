@@ -350,6 +350,13 @@ AUDITED = {
         ["HashAggregate", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin", "Window"],
     ),
+    # caption alignment: token hashing is map-side; aggregates key on
+    # (doc_id, dim) then (doc_id) — int sums only, embedding arrays
+    # ride one equi-join, raw text never shuffles, no window/cross
+    "caption_align_gate": (
+        ["HashAggregate"],
+        ["CartesianProduct", "Window"],
+    ),
 }
 
 
