@@ -180,6 +180,7 @@ def main() -> None:
         "ann_matryoshka_topk",  # dimension-cascade ANN scale path
         "domain_quality_gate",  # site-level curation verdict
         "caption_align_gate",  # CLIP-shaped multimodal agreement
+        "perplexity_buckets",  # CCNet tercile LM-quality split
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

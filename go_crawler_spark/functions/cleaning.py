@@ -361,3 +361,98 @@ def q_domain_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host", "quality", "host_n_docs", "host_sum_quality",
         "domain_keep",
     )
+
+# --------------------------------------------------------------------------
+# Perplexity-bucket filter (CCNet shape; Wenzek et al. 2020 §4.3: score
+# every document with a cheap language model and split the corpus into
+# head/middle/tail perplexity TERCILES — the head is boilerplate-like,
+# the tail is noise, and curation pipelines keep head+middle or
+# re-weight per bucket). The LM here is the corpus's own unigram model
+# with the integer rarity surrogate floor(SCALE/df) standing in for
+# −log p (monotone in 1/df, engine-independent). Tercile edges come
+# from the doc-mean HISTOGRAM — the same distinct-value cumulative
+# trick as q_host_budget_waterfill — so no global sort of documents
+# exists at any scale: doc_mean is bounded by PPLX_SCALE, hence the
+# only ordered scan covers ≤ PPLX_SCALE distinct values.
+# --------------------------------------------------------------------------
+
+PPLX_SCALE = 1_000_000
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, surprisal_sum, doc_mean, bucket): per-doc mean
+    unigram surprisal (exact int64 floor) and its head/middle/tail
+    tercile. Edges are value thresholds t1/t2 = the smallest doc_mean
+    whose cumulative doc count covers 1/3 (resp. 2/3) of the corpus;
+    ties keep equal-valued docs in the same bucket (the deterministic
+    distributed-percentile contract — buckets are approximately thirds,
+    exactly reproducible).
+
+    Scale shape: tf/df are the inverted index's aggregates (term-hash
+    keyed); the df side joins back pre-aggregated; per-doc fold is one
+    8-byte-keyed groupBy; the tercile search runs on the doc-mean
+    histogram (bounded distinct values) and broadcasts one (t1, t2)
+    row. Document text never shuffles."""
+    from pyspark.sql import Window
+
+    from go_crawler_spark.functions.textstats import _floordiv, tokens_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_doc = (
+        tf.join(df_tbl, "term")
+        .select(
+            "doc_id",
+            "tf",
+            (
+                F.col("tf")
+                * _floordiv(F.lit(PPLX_SCALE).cast("long"), F.col("df"))
+            ).alias("surprisal"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum("surprisal").cast("long").alias("surprisal_sum"),
+        )
+        .withColumn(
+            "doc_mean",
+            _floordiv(F.col("surprisal_sum"), F.col("n_tokens")),
+        )
+    )
+    hist = per_doc.groupBy("doc_mean").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.orderBy("doc_mean").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_all = per_doc.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    cum = (
+        hist.withColumn("cum", F.sum("n_docs").over(w).cast("long"))
+        .crossJoin(F.broadcast(n_all))
+    )
+    thr = cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n_all"), F.col("doc_mean")))
+        .alias("t1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n_all"), F.col("doc_mean"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("doc_mean") <= F.col("t1"), "head")
+        .when(F.col("doc_mean") > F.col("t2"), "tail")
+        .otherwise("middle")
+    )
+    return per_doc.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "n_tokens", "surprisal_sum", "doc_mean",
+        bucket.alias("bucket"),
+    )

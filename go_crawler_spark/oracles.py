@@ -2630,3 +2630,46 @@ SELECT n.doc_id,
        COALESCE(t.dot_fixed, 0) >= 0 AS keep
 FROM norms n LEFT JOIN dotted t USING (doc_id)
 """
+
+# --- perplexity-bucket filter ---------------------------------------------------
+# Same tokenizer CTE, same integer rarity surrogate and floored doc
+# mean; tercile thresholds from the identical doc-mean histogram
+# cumulative (distinct values ⇒ RANGE/ROWS frame equivalence).
+
+from go_crawler_spark.functions.cleaning import PPLX_SCALE  # noqa: E402
+
+PERPLEXITY_BUCKETS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_LOWER}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+dfp AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+per_doc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * ({PPLX_SCALE} // dfp.df)) AS BIGINT)
+           AS surprisal_sum
+  FROM tf JOIN dfp USING (term) GROUP BY 1),
+scored AS (
+  SELECT *, surprisal_sum // n_tokens AS doc_mean FROM per_doc),
+hist AS (
+  SELECT doc_mean, CAST(count(*) AS BIGINT) AS n_docs
+  FROM scored GROUP BY 1),
+cum AS (
+  SELECT doc_mean,
+         CAST(SUM(n_docs) OVER (ORDER BY doc_mean) AS BIGINT) AS cum
+  FROM hist),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM scored),
+thr AS (
+  SELECT min(CASE WHEN c.cum * 3 >= n.n_all THEN c.doc_mean END) AS t1,
+         min(CASE WHEN c.cum * 3 >= 2 * n.n_all THEN c.doc_mean END) AS t2
+  FROM cum c CROSS JOIN n)
+SELECT s.doc_id, s.n_tokens, s.surprisal_sum,
+       CAST(s.doc_mean AS BIGINT) AS doc_mean,
+       CASE WHEN s.doc_mean <= t.t1 THEN 'head'
+            WHEN s.doc_mean > t.t2 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM scored s CROSS JOIN thr t
+"""

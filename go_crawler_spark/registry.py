@@ -192,6 +192,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_caption_align_gate,
         oracles.CAPTION_ALIGN_GATE,
     ),
+    # CCNet-shaped perplexity terciles (integer unigram surprisal;
+    # edges from the doc-mean histogram — no global doc sort)
+    "perplexity_buckets": (
+        cleaning.q_perplexity_buckets,
+        oracles.PERPLEXITY_BUCKETS,
+    ),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

@@ -881,3 +881,46 @@ def test_caption_align_gate_matches_bruteforce(spark, sf_small):
     }
     assert got == expect
     assert {v[3] for v in got.values()} == {True, False}
+
+
+def test_perplexity_buckets_matches_bruteforce(spark, sf_small):
+    from collections import Counter
+
+    from go_crawler_spark.functions.cleaning import (
+        PPLX_SCALE,
+        q_perplexity_buckets,
+    )
+    from go_crawler_spark.tables import load
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in load(spark, sf_small, "documents").collect()
+    }
+    df: Counter = Counter()
+    tfs = {d: Counter(toks) for d, toks in docs.items()}
+    for ctr in tfs.values():
+        df.update(ctr.keys())
+    per_doc = {}
+    for d, ctr in tfs.items():
+        if not ctr:
+            continue
+        n = sum(ctr.values())
+        s = sum(tf * (PPLX_SCALE // df[t]) for t, tf in ctr.items())
+        per_doc[d] = (n, s, s // n)
+    means = sorted(m for _, _, m in per_doc.values())
+    n_all = len(means)
+    # smallest value whose cumulative coverage reaches 1/3 (resp. 2/3)
+    t1 = means[(n_all + 2) // 3 - 1]
+    t2 = means[(2 * n_all + 2) // 3 - 1]
+    expect = {
+        d: (n, s, m, "head" if m <= t1 else "tail" if m > t2 else "middle")
+        for d, (n, s, m) in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["surprisal_sum"], r["doc_mean"], r["bucket"]
+        )
+        for r in q_perplexity_buckets(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert {v[3] for v in got.values()} == {"head", "middle", "tail"}

@@ -357,6 +357,14 @@ AUDITED = {
         ["HashAggregate"],
         ["CartesianProduct", "Window"],
     ),
+    # perplexity terciles: the only Window runs on the doc-mean
+    # HISTOGRAM (bounded distinct values); thresholds broadcast back
+    # as a one-row side — documents are never globally sorted (the
+    # tf⋈df term join may legitimately sort-merge on the term key)
+    "perplexity_buckets": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct"],
+    ),
 }
 
 
