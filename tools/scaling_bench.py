@@ -39,7 +39,7 @@ sys.path.insert(0, {repo!r})
 from go_crawler_spark.session import get_spark
 from go_crawler_spark.crawl.kernelbench import run_fetch_round
 spark = get_spark("scaling_bench", cpus={cpus}, shuffle_partitions={cpus},
-                  executors={executors},
+                  executors={executors}, executor_mem_mb={exec_mem_mb},
                   extra_conf={{"spark.sql.execution.arrow.maxRecordsPerBatch": "512"}})
 r = run_fetch_round(spark, n_hosts=48, details_per_host={n_rows} // 48,
                     corpus_path={path!r}, img_scale=4)
@@ -84,9 +84,14 @@ def run_at(cpus: int, n_rows: int, path: str, local_cluster: bool = False) -> di
         cpus=cpus,
         n_rows=n_rows,
         path=path,
-        # local-cluster[N,1,20g]: N single-core executor JVMs — per-executor
-        # heaps/block managers/GC, the in-sandbox stand-in for N executors
+        # local-cluster[N,1,mem]: N single-core executor JVMs — per-executor
+        # heaps/block managers/GC, the in-sandbox stand-in for N executors.
+        # Per-executor memory stays CONSTANT across levels (a real fleet's
+        # shape); keep N_max × mem within physical RAM or the page cache
+        # starves and the high level thrashes (measured: 8×20g on a 125 GiB
+        # box made local-cluster[8] slower than [2] at 384 k payloads).
         executors=cpus if local_cluster else None,
+        exec_mem_mb=int(os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEM_MB", "20480")),
     )
     # local-cluster: blocks live on the executors, so the coordinating
     # driver does NOT need the 48g heap the single-JVM local mode does
