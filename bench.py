@@ -181,6 +181,7 @@ def main() -> None:
         "domain_quality_gate",  # site-level curation verdict
         "caption_align_gate",  # CLIP-shaped multimodal agreement
         "perplexity_buckets",  # CCNet tercile LM-quality split
+        "link_reciprocity",  # link-farm flag (edge-key semi-join)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -170,3 +170,100 @@ def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ANCHOR_TOPK)
         .select("dst", "rnk", "anchor", "cnt")
     )
+
+
+# link-farm detection: reciprocity threshold + planted farm structure
+FARM_MOD = 97  # doc_id ≡ 0 (mod 97) nodes form the planted farm ring
+FARM_LINKS = 2  # ring links each way (±1, ±2 by farm index) — symmetric
+RECIP_PPM_THRESH = 400_000  # ≥ 40% reciprocated out-links ⇒ farm flag
+
+
+def farm_edges(docs: DataFrame) -> DataFrame:
+    """Planted link-farm: the ≡0 (mod FARM_MOD) nodes link to their
+    ±1..±FARM_LINKS ring neighbors by farm index — symmetric by
+    construction, so every farm edge is reciprocated. Ring arithmetic
+    runs off a broadcast (min, count) row: no window, no collect."""
+    farm = docs.filter(F.col("doc_id") % FARM_MOD == 0).select(
+        F.col("doc_id").alias("src")
+    )
+    stats = farm.agg(
+        F.min("src").alias("mn"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    deltas = [d for k in range(1, FARM_LINKS + 1) for d in (k, -k)]
+    idx = (F.col("src") - F.col("mn")) / FARM_MOD  # exact: src-mn ≡ 0 mod 97
+    return (
+        farm.crossJoin(F.broadcast(stats))
+        .select(
+            "src",
+            "mn",
+            "m",
+            idx.cast("long").alias("i"),
+            F.explode(F.array(*[F.lit(d) for d in deltas])).alias("d"),
+        )
+        .filter(F.col("m") > 2 * FARM_LINKS)  # ring needs distinct neighbors
+        .select(
+            "src",
+            (
+                F.col("mn")
+                + FARM_MOD * ((F.col("i") + F.col("d") + F.col("m")) % F.col("m"))
+            ).alias("dst"),
+        )
+    )
+
+
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-farm detection by out-link reciprocity (the TrustRank-era
+    spam signal: organic pages rarely get their links returned, farms
+    reciprocate densely — Gyöngyi et al. 2004 discuss farm structures
+    PageRank alone rewards). Per source node: out-degree, reciprocated
+    out-degree, reciprocity ppm (exact floor) and the farm flag. The
+    edge set is the shared LCG graph (≈0 organic reciprocity) plus the
+    planted symmetric farm ring, so both flag classes exist at every
+    SF.
+
+    Scale shape: one distinct over the edge union (keyed on the edge
+    pair), one left-semi self-join probing (dst, src) against
+    (src, dst) — 16-byte keys, no payload — then a per-src partial
+    aggregate. At 10^12 edges nothing but edge-key pairs ever
+    shuffles, and the semi-join discards non-reciprocal probes
+    map-side after the first match."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        link_edges(docs)
+        .select("src", "dst")
+        .unionByName(farm_edges(docs))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = edges.join(rev, ["src", "dst"], "left_semi")
+    out_deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out")
+    )
+    rec_deg = recip.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_recip")
+    )
+    ppm = _floordiv(
+        F.col("n_recip") * 1_000_000, F.col("n_out")
+    )
+    return (
+        out_deg.join(rec_deg, "src", "left")
+        .select(
+            "src",
+            "n_out",
+            F.coalesce(F.col("n_recip"), F.lit(0).cast("long")).alias(
+                "n_recip"
+            ),
+        )
+        .select(
+            "src",
+            "n_out",
+            "n_recip",
+            ppm.alias("recip_ppm"),
+            (ppm >= RECIP_PPM_THRESH).alias("farm_flag"),
+        )
+    )

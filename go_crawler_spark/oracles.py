@@ -2673,3 +2673,57 @@ SELECT s.doc_id, s.n_tokens, s.surprisal_sum,
             ELSE 'middle' END AS bucket
 FROM scored s CROSS JOIN thr t
 """
+
+
+# --- link reciprocity / farm detection -------------------------------------------
+# Same LCG edge synthesis as LINK_PAGERANK/ANCHOR_TEXT_TOPK, same
+# planted symmetric farm ring (index arithmetic off min/count), same
+# integer ppm floor and threshold.
+
+from go_crawler_spark.functions.linkgraph import (  # noqa: E402
+    FARM_LINKS,
+    FARM_MOD,
+    RECIP_PPM_THRESH,
+)
+
+_FARM_DELTAS = ", ".join(
+    str(d) for k in range(1, FARM_LINKS + 1) for d in (k, -k)
+)
+
+LINK_RECIPROCITY = f"""
+WITH n AS (SELECT COUNT(*) AS n_nodes FROM documents),
+cand AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C})
+           % n.n_nodes AS dst0,
+         n.n_nodes AS n_nodes
+  FROM documents d, n, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+lcg_edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n_nodes ELSE dst0 END AS dst
+  FROM cand),
+farm AS (SELECT doc_id AS src FROM documents WHERE doc_id % {FARM_MOD} = 0),
+fstats AS (SELECT min(src) AS mn, CAST(count(*) AS BIGINT) AS m FROM farm),
+farm_e AS (
+  SELECT f.src,
+         s.mn + {FARM_MOD} * (((f.src - s.mn) // {FARM_MOD} + u.d + s.m) % s.m)
+           AS dst
+  FROM farm f CROSS JOIN fstats s,
+       unnest(ARRAY[{_FARM_DELTAS}]) AS u(d)
+  WHERE s.m > {2 * FARM_LINKS}),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM lcg_edges UNION ALL SELECT src, dst FROM farm_e)),
+recip AS (
+  SELECT e.src, CAST(count(*) AS BIGINT) AS n_recip
+  FROM edges e SEMI JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY 1),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_out FROM edges GROUP BY 1)
+SELECT d.src, d.n_out,
+       COALESCE(r.n_recip, 0) AS n_recip,
+       (COALESCE(r.n_recip, 0) * 1000000) // d.n_out AS recip_ppm,
+       (COALESCE(r.n_recip, 0) * 1000000) // d.n_out >= {RECIP_PPM_THRESH}
+         AS farm_flag
+FROM deg d LEFT JOIN recip r USING (src)
+"""

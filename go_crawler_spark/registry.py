@@ -198,6 +198,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         cleaning.q_perplexity_buckets,
         oracles.PERPLEXITY_BUCKETS,
     ),
+    # link-farm detection by out-link reciprocity (semi-join on the
+    # reversed edge key; planted symmetric ring exercises the flag)
+    "link_reciprocity": (
+        linkgraph.q_link_reciprocity,
+        oracles.LINK_RECIPROCITY,
+    ),
     # parsing ladders (SURVEY.md §2 B6/E5-E12)
     # pagination URL construction + KV-record codec (B7/B8/B12)
     "paginated_url_modes": (

@@ -250,3 +250,43 @@ def test_frontier_snapshot_diff_matches_bruteforce(spark, sf_small):
     assert {c for _, _, c in got.values()} == {
         "added", "removed", "status_changed", "unchanged",
     }
+
+
+def test_link_reciprocity_matches_bruteforce(spark, sf_small):
+    from go_crawler_spark.functions.linkgraph import (
+        FARM_LINKS,
+        FARM_MOD,
+        RECIP_PPM_THRESH,
+        farm_edges,
+        q_link_reciprocity,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    edges = {
+        (r["src"], r["dst"])
+        for r in link_edges(docs).select("src", "dst").collect()
+    } | {(r["src"], r["dst"]) for r in farm_edges(docs).collect()}
+    out: dict[int, int] = {}
+    rec: dict[int, int] = {}
+    for s, d in edges:
+        out[s] = out.get(s, 0) + 1
+        if (d, s) in edges:
+            rec[s] = rec.get(s, 0) + 1
+    expect = {}
+    for s, n_out in out.items():
+        n_recip = rec.get(s, 0)
+        ppm = n_recip * 1_000_000 // n_out
+        expect[s] = (n_out, n_recip, ppm, ppm >= RECIP_PPM_THRESH)
+    got = {
+        r["src"]: (r["n_out"], r["n_recip"], r["recip_ppm"], r["farm_flag"])
+        for r in q_link_reciprocity(spark, sf_small).collect()
+    }
+    assert got == expect
+    # the planted ring is fully reciprocated and flagged; organic
+    # nodes stay below threshold
+    farm_nodes = {s for s in got if s % FARM_MOD == 0}
+    assert farm_nodes and all(got[s][3] for s in farm_nodes)
+    assert all(
+        got[s][1] >= 2 * FARM_LINKS for s in farm_nodes
+    )
+    assert not any(got[s][3] for s in got if s % FARM_MOD != 0)

@@ -365,6 +365,13 @@ AUDITED = {
         ["HashAggregate", "Window"],
         ["CartesianProduct"],
     ),
+    # reciprocity: the self-probe must be a LeftSemi on the 16-byte
+    # edge key (first match discards the probe) — never a window,
+    # never an unbounded join multiplying edge rows
+    "link_reciprocity": (
+        ["LeftSemi", "HashAggregate"],
+        ["CartesianProduct", "Window"],
+    ),
 }
 
 
