@@ -190,8 +190,12 @@ def farm_edges(docs: DataFrame) -> DataFrame:
         F.min("src").alias("mn"),
         F.count(F.lit(1)).cast("long").alias("m"),
     )
+    from go_crawler_spark.functions.textstats import _floordiv
+
     deltas = [d for k in range(1, FARM_LINKS + 1) for d in (k, -k)]
-    idx = (F.col("src") - F.col("mn")) / FARM_MOD  # exact: src-mn ≡ 0 mod 97
+    # exact integer farm index (src-mn ≡ 0 mod FARM_MOD, but the repo's
+    # _floordiv discipline holds even past 2^53 node ids — ADVICE r4)
+    idx = _floordiv(F.col("src") - F.col("mn"), F.lit(FARM_MOD).cast("long"))
     return (
         farm.crossJoin(F.broadcast(stats))
         .select(

@@ -691,7 +691,11 @@ def q_crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 4 == 2, F.concat(F.lit("/tag/"), (k % 30).cast("string")))
         .otherwise(
             F.concat(
-                F.lit("/s/"), ((k * 2654435761) % 1000000007).cast("string")
+                F.lit("/s/"),
+                # reduce k first: k may exceed ~3.5e9 at very large SF,
+                # and 3.5e9 * 2654435761 overflows int64 (Spark wraps,
+                # DuckDB raises) — (k mod p) * A stays < 2^62 (ADVICE r4)
+                ((k % 1000000007) * 2654435761 % 1000000007).cast("string")
             )
         )
     )

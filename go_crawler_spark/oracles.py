@@ -2386,8 +2386,8 @@ WITH urls AS (
            WHEN 1 THEN '/cal/' || CAST(o_orderkey % 50 + 2000 AS VARCHAR)
                     || '/' || CAST(o_orderkey % 12 + 1 AS VARCHAR)
            WHEN 2 THEN '/tag/' || CAST(o_orderkey % 30 AS VARCHAR)
-           ELSE '/s/' || CAST((o_orderkey * 2654435761) % 1000000007
-                              AS VARCHAR)
+           ELSE '/s/' || CAST((o_orderkey % 1000000007) * 2654435761
+                              % 1000000007 AS VARCHAR)
          END AS path
   FROM orders),
 prof AS (
@@ -2448,9 +2448,10 @@ from go_crawler_spark.functions.relational import (  # noqa: E402
 
 HOST_BUDGET_WATERFILL = f"""
 WITH demand AS (
-  SELECT printf('host-%d.example.com', o_orderkey % {BUDGET_HOST_MOD}) AS host,
+  SELECT o_orderkey % {BUDGET_HOST_MOD} AS host_num,
+         printf('host-%d.example.com', o_orderkey % {BUDGET_HOST_MOD}) AS host,
          CAST(count(*) AS BIGINT) AS demand
-  FROM orders GROUP BY 1),
+  FROM orders GROUP BY 1, 2),
 totals AS (
   SELECT CAST(count(*) AS BIGINT) AS n_all,
          CAST(sum(demand) AS BIGINT) AS d_all FROM demand),
@@ -2469,16 +2470,31 @@ lvl AS (
            THEN (t.d_all // {BUDGET_CAP_DIV}
                  - (c.cum_tot + (t.n_all - c.cum_hosts) * c.demand))
                 // (t.n_all - c.cum_hosts)
-           ELSE 0 END AS level
+           ELSE 0 END AS level,
+         CASE WHEN t.n_all > c.cum_hosts
+           THEN (t.d_all // {BUDGET_CAP_DIV}
+                 - (c.cum_tot + (t.n_all - c.cum_hosts) * c.demand))
+                % (t.n_all - c.cum_hosts)
+           ELSE 0 END AS rem
   FROM cum c, totals t
   WHERE c.cum_tot + (t.n_all - c.cum_hosts) * c.demand
         <= t.d_all // {BUDGET_CAP_DIV}
-  ORDER BY c.demand DESC LIMIT 1)
+  ORDER BY c.demand DESC LIMIT 1),
+bonus AS (
+  SELECT host_num FROM (
+    SELECT d.host_num,
+           row_number() OVER (
+             ORDER BY (d.host_num * 48271 + 11) % 100003, d.host_num
+           ) AS rnk
+    FROM demand d, lvl l WHERE d.demand > l.level) s, lvl l
+  WHERE s.rnk <= l.rem)
 SELECT d.host, d.demand,
-       CAST(least(d.demand, l.level) AS BIGINT) AS alloc,
+       CAST(least(d.demand, l.level)
+            + CASE WHEN b.host_num IS NOT NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc,
        d.demand > l.level AS saturated,
        CAST(l.level AS BIGINT) AS level
-FROM demand d, lvl l
+FROM demand d LEFT JOIN bonus b USING (host_num), lvl l
 """
 
 

@@ -113,7 +113,7 @@ def test_crawl_trap_templates_matches_bruteforce(spark, sf_small):
         elif k % 4 == 2:
             path = f"/tag/{k % 30}"
         else:
-            path = f"/s/{(k * 2654435761) % 1000000007}"
+            path = f"/s/{(k % 1000000007) * 2654435761 % 1000000007}"
         host = f"shop{ck % 20}.example.com"
         tmpl = re.sub(r"[0-9]+", "N", path)
         urls.setdefault((host, tmpl), set()).add(path)
@@ -187,18 +187,26 @@ def test_host_budget_waterfill_invariants(spark, sf_small):
     cap = total_demand // BUDGET_CAP_DIV
     level = rows[0]["level"]
     assert all(r["level"] == level for r in rows)
+    n_bonus = 0
     for r in rows:
-        assert r["alloc"] == min(r["demand"], level)
+        base = min(r["demand"], level)
+        # max-min fairness: alloc is the level cap plus at most one
+        # remainder unit, and a bonus never overshoots the demand
+        assert r["alloc"] in (base, base + 1)
+        assert r["alloc"] <= r["demand"]
+        if r["alloc"] == base + 1:
+            n_bonus += 1
+            assert r["demand"] > level  # only saturated hosts get +1
         assert r["saturated"] == (r["demand"] > level)
     used = sum(r["alloc"] for r in rows)
-    # feasible: never over capacity
-    assert used <= cap
-    # maximal: level+1 would overshoot (the waterfill optimality bound)
-    assert sum(min(r["demand"], level + 1) for r in rows) > cap
-    # leftover slack is strictly below the saturated-host count
-    # (anything more could have raised someone's allocation)
     n_saturated = sum(1 for r in rows if r["saturated"])
-    assert cap - used < max(1, n_saturated)
+    # EXACT allocation: demand >= cap here (BUDGET_CAP_DIV splits total
+    # demand), so the remainder distribution must spend the cap fully
+    assert total_demand >= cap
+    assert used == cap
+    assert n_bonus < max(1, n_saturated)
+    # maximal: level+1 for everyone would overshoot (optimality bound)
+    assert sum(min(r["demand"], level + 1) for r in rows) > cap
     # brute-force the true level and compare
     true_level = 0
     while sum(min(r["demand"], true_level + 1) for r in rows) <= cap:
@@ -282,11 +290,22 @@ def test_link_reciprocity_matches_bruteforce(spark, sf_small):
         for r in q_link_reciprocity(spark, sf_small).collect()
     }
     assert got == expect
-    # the planted ring is fully reciprocated and flagged; organic
-    # nodes stay below threshold
+    # the planted ring is fully reciprocated and flagged
     farm_nodes = {s for s in got if s % FARM_MOD == 0}
     assert farm_nodes and all(got[s][3] for s in farm_nodes)
     assert all(
         got[s][1] >= 2 * FARM_LINKS for s in farm_nodes
     )
-    assert not any(got[s][3] for s in got if s % FARM_MOD != 0)
+    # organic flags come from the brute-force edge set, not a universal
+    # "never flagged" claim — an LCG node with 2/4 reciprocated edges
+    # would legitimately clear 40% ppm at some corpus sizes (ADVICE r4),
+    # so the assertion is that the ENGINE agrees with brute force AND
+    # that the two flag classes genuinely separate at this SF
+    organic_flagged = {
+        s for s in got if s % FARM_MOD != 0 and got[s][3]
+    }
+    expect_organic_flagged = {
+        s for s, v in expect.items() if s % FARM_MOD != 0 and v[3]
+    }
+    assert organic_flagged == expect_organic_flagged
+    assert len(organic_flagged) < len(farm_nodes)  # farms dominate the flag
