@@ -105,11 +105,24 @@ class CrawlConfig:
     # the reference's enumeration order; "priority" = priority desc
     # first (ties by depth, seq_path), priority being a deterministic
     # pure function of url_hash (priority_of) so engine and simulator
-    # derive it identically
+    # derive it identically; "pagerank" = priority is the integer
+    # PageRank of the URL over the edges DISCOVERED SO FAR (recomputed
+    # every pagerank_every rounds; URLs discovered after the last
+    # recompute rank at the teleport floor), same tie-break. The rank
+    # math is exact int64 on both sides (engine: linkgraph's wide
+    # floor-division kernels; simulator: independently-derived pure
+    # Python), so the golden trace pins the integration bit-for-bit.
+    # The reference's dequeue loop has no prioritization at all
+    # (/root/reference/internal/usecase/crawler.go:606-641); this is
+    # the north rule's non-trivial "priority" axis.
+    pagerank_every: int = 2  # recompute cadence (rounds) for order=pagerank
+    pagerank_iters: int = 2  # damped power iterations per recompute
 
     def __post_init__(self) -> None:
-        if self.order not in ("bfs", "priority"):
-            raise ValueError("order must be 'bfs' or 'priority'")
+        if self.order not in ("bfs", "priority", "pagerank"):
+            raise ValueError("order must be 'bfs', 'priority' or 'pagerank'")
+        if self.pagerank_every < 1 or self.pagerank_iters < 1:
+            raise ValueError("pagerank_every and pagerank_iters must be >= 1")
         if self.round_seconds <= 0:
             raise ValueError("round_seconds must be > 0")
         if self.max_rounds < 1:

@@ -66,6 +66,9 @@ FRONTIER_SCHEMA = T.StructType(
 
 _CANON_OUT = T.StructType(
     [
+        T.StructField("base_url", T.StringType()),  # discovering page
+        # (kept through canonicalization so order='pagerank' can record
+        # the (base → child) edge; dropped before the frontier append)
         T.StructField("url", T.StringType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("seq_path", T.StringType()),
@@ -182,7 +185,9 @@ class CrawlResult:
         omap = F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         )
-        if self.order == "priority":
+        if self.order in ("priority", "pagerank"):
+            # pagerank traces record the rank-in-force at dequeue time
+            # in the priority column, so the same key totalizes both
             key = [F.col("priority").desc(), F.col("depth"), F.col("seq_path")]
         else:
             key = [F.col("depth"), F.col("seq_path")]
@@ -277,14 +282,18 @@ class CrawlEngine:
 
     def _order_cols(self) -> list:
         """The total crawl-order key (F3): BFS = (depth, seq_path);
-        priority mode ranks by priority desc first, same tie-break."""
-        if self.cfg.order == "priority":
+        priority/pagerank modes rank by priority desc first, same
+        tie-break (pagerank rewrites the priority column at dequeue
+        time from the latest rank table)."""
+        if self.cfg.order in ("priority", "pagerank"):
             return [F.col("priority").desc(), F.col("depth"), F.col("seq_path")]
         return [F.col("depth"), F.col("seq_path")]
 
     # -- one round -----------------------------------------------------
 
-    def _dequeue(self, pending: DataFrame) -> DataFrame:
+    def _dequeue(
+        self, pending: DataFrame, ranks: DataFrame | None = None
+    ) -> DataFrame:
         # Hosts absent from robots_df default to the budget for the
         # default crawl-delay 1.0 — the SAME rule the simulator applies
         # (simulator.py: delays.get(host, 1.0) → cfg.budget), so corpora
@@ -292,6 +301,30 @@ class CrawlEngine:
         # robots_df's per-host disallow/allow must equal cfg.disallow /
         # cfg.allow (corpus.build_robots guarantees it); the simulator
         # uses the global sets.
+        if ranks is not None:
+            # order='pagerank': the priority column is live — join the
+            # latest rank table by url_hash; URLs discovered after the
+            # last recompute rank at the teleport floor (same rule in
+            # the simulator). Broadcast is the right strategy while the
+            # rank table fits (bounded by |seen|); past broadcast size
+            # drop the hint and this becomes a shuffle equi-join on the
+            # 8-byte key — pending shuffles either way for the window
+            # below, so no extra Exchange is introduced. Ranks are
+            # exact longs < 2^53 wherever the trace is compared, so the
+            # double cast is lossless there.
+            from go_crawler_spark.functions.linkgraph import PR_TELEPORT
+
+            pending = (
+                pending.join(F.broadcast(ranks), "url_hash", "left")
+                .withColumn(
+                    "priority",
+                    F.coalesce(
+                        F.col("pr").cast("double"),
+                        F.lit(float(PR_TELEPORT)),
+                    ),
+                )
+                .drop("pr")
+            )
         salted = pending.join(
             self.budgets.drop("disallow", "allow"), "host", "left"
         ).withColumn(
@@ -371,6 +404,7 @@ class CrawlEngine:
                 keep = res.notna()
                 yield pd.DataFrame(
                     {
+                        "base_url": pdf["base_url"][keep],
                         "url": res[keep],
                         "depth": pdf["depth"][keep],
                         "seq_path": pdf["seq_path"][keep],
@@ -477,8 +511,12 @@ class CrawlEngine:
         bloom: BloomShards | None,
         with_payload_verify: bool = True,
         light_metrics: bool = False,
-    ) -> tuple[DataFrame, DataFrame, DataFrame | None, RoundStats]:
-        """Returns (fresh increment [checkpointed], trace, pages, stats).
+        ranks: DataFrame | None = None,
+    ) -> tuple[
+        DataFrame, DataFrame, DataFrame | None, RoundStats, DataFrame | None
+    ]:
+        """Returns (fresh increment [checkpointed], trace, pages, stats,
+        edge increment [checkpointed; None unless order='pagerank']).
 
         ``pending`` is the live queue (PENDING rows only); ``seen_hashes``
         is the url_hash set of every discovery ever (union of the
@@ -492,9 +530,12 @@ class CrawlEngine:
         actions per round — trace-status + robots/candidate counts
         (FUSED into one job via a unioned pair of tiny aggregates),
         pages count, and the fresh-increment checkpoint — everything
-        downstream reuses those materialized frames."""
+        downstream reuses those materialized frames. order='pagerank'
+        adds exactly one more (action 4: the edge-increment checkpoint,
+        bounded by dequeued × fanout edge keys), plus one rank-table
+        checkpoint per ``pagerank_every`` rounds in run()."""
         dequeued = self._dequeue(
-            pending.filter(F.col("status") == "PENDING")
+            pending.filter(F.col("status") == "PENDING"), ranks
         ).select("url_hash", "url", "host", "depth", "seq_path", "priority").persist()
 
         # The "fetch" join. The dequeued set is bounded by the politeness
@@ -619,6 +660,26 @@ class CrawlEngine:
         n_fresh = fresh.count()
         t0 = _tlog("a3_dedupe_fresh", t0)
 
+        edges_inc = None
+        if self.cfg.order == "pagerank":
+            # action 4 (pagerank mode only): the round's discovered-edge
+            # increment — (fetching page → robots-allowed candidate),
+            # INCLUDING links to already-seen URLs (in-links to popular
+            # pages are exactly what rank rewards). Only 16-byte hash
+            # pairs materialize; checkpointed because `flagged`/`hit`
+            # unpersist at round end but the recompute in run() reads
+            # edges rounds later. Simulator twin: the edges_set.add in
+            # simulator.simulate's discovery loop.
+            edges_inc = (
+                allowed.select(
+                    F.xxhash64("base_url").alias("src"),
+                    F.xxhash64("url").alias("dst"),
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            t0 = _tlog("a4_edges_inc", t0)
+
         stats = RoundStats(
             round=round_no,
             dequeued=n_dequeued,
@@ -632,7 +693,7 @@ class CrawlEngine:
         hit.unpersist()
         if not light_metrics:
             flagged.unpersist()
-        return fresh, trace, pages, stats
+        return fresh, trace, pages, stats, edges_inc
 
     # -- full run ------------------------------------------------------
 
@@ -684,13 +745,49 @@ class CrawlEngine:
         traces: list[DataFrame] = []
         pages_parts: list[DataFrame] = []
         metrics: list[RoundStats] = []
+        # order='pagerank' state: discovered-edge increments (one
+        # checkpointed frame per round) and the latest rank table.
+        # On resume, edges from pre-resume rounds are not replayed —
+        # ranks rebuild from post-resume discoveries (documented; the
+        # golden-trace scenarios run from round 0).
+        use_pr = cfg.order == "pagerank"
+        edge_incs: list[DataFrame] = []
+        ranks_df: DataFrame | None = None
 
         for k in range(start_round, start_round + cfg.max_rounds):
             if pending == 0:
                 break
-            fresh, trace, pages, stats = self.run_round(
-                pending_df, seen_hashes, k, bloom, with_payload_verify
+            if use_pr and k % cfg.pagerank_every == 0:
+                # one extra action per pagerank_every rounds: recompute
+                # the rank table over everything seen so far and
+                # checkpoint it (it is read by every dequeue until the
+                # next recompute). distinct() across increments because
+                # the same (src, dst) edge can re-surface in later
+                # rounds (pages re-linking already-seen URLs).
+                from go_crawler_spark.functions.linkgraph import pagerank_ranks
+
+                if edge_incs:
+                    edges = edge_incs[0]
+                    for e in edge_incs[1:]:
+                        edges = edges.unionByName(e)
+                    edges = edges.distinct()
+                else:
+                    edges = spark.createDataFrame([], "src long, dst long")
+                ranks_df = (
+                    pagerank_ranks(
+                        seen_hashes.select(F.col("url_hash").alias("doc_id")),
+                        edges,
+                        cfg.pagerank_iters,
+                    )
+                    .select(F.col("doc_id").alias("url_hash"), "pr")
+                    .localCheckpoint(eager=True)
+                )
+            fresh, trace, pages, stats, edges_inc = self.run_round(
+                pending_df, seen_hashes, k, bloom, with_payload_verify,
+                ranks=ranks_df,
             )
+            if use_pr and edges_inc is not None:
+                edge_incs.append(edges_inc)
             if pages is not None:
                 pages_parts.append(pages)
             if self.store is not None:

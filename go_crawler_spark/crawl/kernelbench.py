@@ -216,7 +216,7 @@ def run_fetch_round(
                   with_payload_verify=True, light_metrics=True)
 
     t0 = time.time()
-    _, trace, pages, stats = eng.run_round(
+    _, trace, pages, stats, _edges = eng.run_round(
         pending, pending.select("url_hash"), 0, bloom,
         with_payload_verify=True, light_metrics=light_metrics
     )

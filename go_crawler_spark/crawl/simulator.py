@@ -73,29 +73,77 @@ def _order_key(cfg: CrawlConfig):
     return lambda r: (r["depth"], r["seq_path"])
 
 
+# Independently-derived integer PageRank twin for order='pagerank'
+# (deliberately NOT imported from functions/linkgraph.py — the module
+# invariant is that engine and simulator share only corpus/canonicalize/
+# codec/budget, so golden equality pins the engine's wide-floordiv
+# Spark kernels against plain Python bigint math). Values: 1e9 mass
+# units per node, 15% teleport, 85/100 damping, all floor division.
+_PR_SCALE = 1_000_000_000
+_PR_TELEPORT = 150_000_000
+
+
+def _pagerank_int(
+    nodes: set[int], edges: set[tuple[int, int]], iters: int
+) -> dict[int, int]:
+    outdeg: dict[int, int] = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {n: _PR_SCALE for n in nodes}
+    for _ in range(iters):
+        sums: dict[int, int] = {}
+        for s, d in edges:
+            if s in pr:  # engine twin: ranks⋈edges is an inner join
+                sums[d] = sums.get(d, 0) + pr[s] // outdeg[s]
+        pr = {n: _PR_TELEPORT + 85 * sums.get(n, 0) // 100 for n in nodes}
+    return pr
+
+
 def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
     pages = {row["url"]: row for row in corpus.iter_rows(spec)}
     delays = {spec.host(i): spec.crawl_delay(i) for i in range(spec.n_hosts)}
 
     res = SimResult()
-    # frontier rows: {url, host, depth, seq_path, priority, status}
+    # frontier rows: {url, host, depth, seq_path, h, priority, status}
     frontier: list[dict] = []
     for seed_idx, url in corpus.seeds(spec):
         cu = canon_url(None, url)
         assert cu is not None
+        h = xxhash64_py(cu)
         frontier.append(
             {"url": cu, "host": host_of(cu), "depth": 0,
-             "seq_path": f"{seed_idx:04d}",
-             "priority": CrawlConfig.priority_of(xxhash64_py(cu))}
+             "seq_path": f"{seed_idx:04d}", "h": h,
+             "priority": CrawlConfig.priority_of(h)}
         )
         res.seen.add(cu)
+
+    # order='pagerank' twin state: edges discovered so far (as hash
+    # pairs, deduped by the set) and the rank table in force
+    edges_seen: set[tuple[int, int]] = set()
+    ranks: dict[int, int] = {}
 
     pending = list(frontier)
     for rnd in range(cfg.max_rounds):
         if not pending:
             break
         res.rounds = rnd + 1
-        pending.sort(key=_order_key(cfg))
+        if cfg.order == "pagerank":
+            if rnd % cfg.pagerank_every == 0:
+                # recompute from everything seen / every edge discovered
+                # in rounds < rnd — exactly the engine's cadence
+                ranks = _pagerank_int(
+                    {xxhash64_py(u) for u in res.seen},
+                    edges_seen,
+                    cfg.pagerank_iters,
+                )
+            rk = dict(ranks)  # bind the in-force table for this round
+            pending.sort(
+                key=lambda r: (
+                    -rk.get(r["h"], _PR_TELEPORT), r["depth"], r["seq_path"]
+                )
+            )
+        else:
+            pending.sort(key=_order_key(cfg))
         taken_per_host: dict[str, int] = {}
         dequeued, deferred = [], []
         for row in pending:
@@ -137,13 +185,21 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
                 if dis > alw:
                     n_robots += 1
                     continue
+                ch = xxhash64_py(cu)
+                if cfg.order == "pagerank":
+                    # edge: fetching page → robots-allowed candidate,
+                    # INCLUDING already-seen targets (in-links to
+                    # popular pages are what rank rewards) — the twin
+                    # of the engine's edges_inc
+                    edges_seen.add((row["h"], ch))
                 discovered.append(
                     {
                         "url": cu,
                         "host": host_of(cu),
                         "depth": row["depth"] + 1,
                         "seq_path": f"{row['seq_path']}.{link_idx:04d}",
-                        "priority": CrawlConfig.priority_of(xxhash64_py(cu)),
+                        "h": ch,
+                        "priority": CrawlConfig.priority_of(ch),
                     }
                 )
 

@@ -85,14 +85,19 @@ def link_edges(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
-    """(doc_id, outdeg, pr) after ``iters`` damped integer PageRank
-    rounds. nodes: (doc_id); edges: (src, dst), every node a src.
+def pagerank_ranks(
+    nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS
+) -> DataFrame:
+    """(doc_id, pr) for EVERY node after ``iters`` damped integer
+    PageRank rounds. nodes: (doc_id); edges: (src, dst).
 
     Per round: contrib(u→v) = floor(pr(u)/outdeg(u)); pr'(v) =
     PR_TELEPORT + floor(85·Σcontrib / 100). Nodes with no in-links
-    decay to the teleport floor via the left join. The edges⋈outdeg
-    side is invariant across rounds, so it is computed once and
+    decay to the teleport floor via the left join; nodes with no
+    out-links keep their rank row (this is what the crawl engine's
+    order='pagerank' dequeue consumes — a frontier URL with no known
+    out-links still needs a priority). The edges⋈outdeg side is
+    invariant across rounds, so it is computed once and
     localCheckpointed — each round then costs exactly two shuffles
     (attach ranks by src, aggregate by dst)."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
@@ -117,7 +122,15 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataF
                 ).alias("pr"),
             )
         )
-    return ranks.join(
+    return ranks
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(doc_id, outdeg, pr) after ``iters`` damped integer PageRank
+    rounds — pagerank_ranks restricted to nodes with out-links (the
+    operator's oracle-paired output contract)."""
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    return pagerank_ranks(nodes, edges, iters).join(
         outdeg.withColumnRenamed("src", "doc_id"), "doc_id"
     ).select("doc_id", "outdeg", "pr")
 

@@ -2743,3 +2743,75 @@ SELECT d.src, d.n_out,
          AS farm_flag
 FROM deg d LEFT JOIN recip r USING (src)
 """
+
+
+# --- crawl→train composed pipeline ------------------------------------------------
+# Golden rows carry only the codec-derived INPUTS (url_hash, dims,
+# caption text); the verify-flag residues, the scrape regex, every
+# gate rule, the caption-dedup window and the packing prefix sum are
+# all re-derived here in SQL (DuckDB groups dup captions by the string
+# itself where Spark keys the shuffle on xxhash64(caption) — same
+# partition classes). DuckDB uses one global running SUM (small data)
+# vs Spark's two-phase bucketed prefix sum — identical int64 offsets.
+
+
+def _train_pages_values() -> str:
+    from go_crawler_spark.functions.trainpipe import train_pages_inputs
+
+    return ",\n    ".join(
+        f"({k}, {w}, {h}, '{cap}')" for k, w, h, cap in train_pages_inputs()
+    )
+
+
+from go_crawler_spark.functions.trainpipe import (  # noqa: E402
+    TRAIN_AR_DEN,
+    TRAIN_AR_NUM,
+    TRAIN_CAPTION_MOD,
+    TRAIN_DECODE_MOD,
+    TRAIN_MIN_CAPTION,
+    TRAIN_MIN_SIDE,
+    TRAIN_PACK_BUDGET,
+    TRAIN_PIXELS_MOD,
+    TRAIN_SALARY_RE,
+)
+
+CRAWL_TO_TRAIN = f"""
+WITH golden(url_hash, w, h, caption) AS (
+  VALUES
+    {_train_pages_values()}),
+pages AS (
+  SELECT CAST(g.url_hash AS BIGINT) AS url_hash, g.w, g.h, g.caption,
+         g.url_hash % {TRAIN_DECODE_MOD} <> 0 AS decode_ok,
+         g.url_hash % {TRAIN_PIXELS_MOD} <> 0 AS pixels_ok,
+         g.url_hash % {TRAIN_CAPTION_MOD} <> 0 AS caption_ok
+  FROM golden g JOIN documents d ON d.doc_id = g.url_hash),
+flags AS (
+  SELECT url_hash,
+         CAST(regexp_extract(caption, '{TRAIN_SALARY_RE}', 1) AS BIGINT)
+           AS salary_man,
+         CAST(length(caption) AS BIGINT) AS caption_len,
+         (decode_ok AND pixels_ok AND caption_ok) AS verified,
+         (least(w, h) >= {TRAIN_MIN_SIDE}
+          AND greatest(w, h) * {TRAIN_AR_DEN}
+              <= least(w, h) * {TRAIN_AR_NUM}) AS image_ok,
+         length(caption) >= {TRAIN_MIN_CAPTION} AS caption_len_ok,
+         (url_hash = min(url_hash) OVER (PARTITION BY caption)) AS dup_keeper
+  FROM pages),
+gated AS (
+  SELECT *, (verified AND image_ok AND caption_len_ok AND dup_keeper) AS keep
+  FROM flags),
+placed AS (
+  SELECT url_hash, caption_len,
+         CAST(COALESCE(SUM(caption_len) OVER (ORDER BY url_hash
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
+  FROM gated WHERE keep)
+SELECT g.url_hash, g.salary_man, g.caption_len, g.verified, g.image_ok,
+       g.caption_len_ok, g.dup_keeper, g.keep,
+       CAST(COALESCE(p.start_off, -1) AS BIGINT) AS start_off,
+       CAST(COALESCE(p.start_off // {TRAIN_PACK_BUDGET}, -1) AS BIGINT)
+         AS pack_first,
+       CAST(COALESCE((p.start_off + greatest(g.caption_len, 1) - 1)
+                     // {TRAIN_PACK_BUDGET}, -1) AS BIGINT) AS pack_last
+FROM gated g LEFT JOIN placed p USING (url_hash)
+"""

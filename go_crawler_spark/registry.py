@@ -22,6 +22,7 @@ from go_crawler_spark.functions import (
     similarity,
     sketches,
     textstats,
+    trainpipe,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -59,191 +60,23 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # name -> (spark function, oracle SQL or None for rows-only checks)
 #
 # ORDERING POLICY: the external correctness driver records at most the
-# FIRST 50 dict entries (CORRECTNESS_r03.json stopped at exactly 50 of
-# 62).  Entries are therefore ordered by evidence need, not by theme:
-# never-driver-checked ops first (the r2-r3 similarity/ANN/multimodal
-# family plus every round-4 addition at positions ≤ 20), and entries
-# with multi-round driver-green history rotated to the tail — the five
-# that round 4's additions pushed past the window (ngram_jaccard_pairs,
-# minhash_lsh_candidates, minhash_jaccard_estimate, kmeans_assign,
-# neardup_components) are all r3-green in CORRECTNESS_r03.json.  Pure
-# dict ordering; no behavior change (VERDICT r3 "Next round" item #1).
+# FIRST 50 dict entries.  Entries are therefore ordered by evidence
+# need, not by theme (VERDICT r4 "Next round" #1): positions 1-38 are
+# exactly the entries CORRECTNESS_r04 did NOT cover (their driver
+# evidence is r1-r3), position 39 is this round's new composed
+# crawl→train entry, and positions 40-50 are the r04-green entries
+# whose code was touched this round (waterfill remainder, crawl-trap
+# overflow fix, linkgraph floordiv + pagerank_ranks refactor) plus the
+# weakest single-round-evidence survivors nearest those code paths.
+# The other 39 r04-green entries rotate to the tail.  Pure dict
+# ordering; no behavior change from the order itself.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # dedup sketches + similarity search — never driver-checked ops first
-    "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
-    # SemDeDup-shaped semantic dedup: IVF cell assign → within-cell
-    # lower-id cosine gate (per-cell pairs only, never all-pairs)
-    "semantic_dedup": (similarity.q_semantic_dedup, oracles.SEMANTIC_DEDUP),
-    # BM25 keyword top-k (fixed conjunctive query, TakeOrdered top-k)
-    "bm25_topk": (search.q_bm25_topk, oracles.BM25_TOPK_SQL),
-    "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
-    "phash_components": (
-        multimodal.q_phash_components,
-        oracles.PHASH_COMPONENTS,
-    ),
-    "video_frame_sample": (
-        multimodal.q_video_frame_sample,
-        oracles.VIDEO_FRAME_SAMPLE,
-    ),
-    "audio_features": (multimodal.q_audio_features, oracles.AUDIO_FEATURES),
-    "simhash": (similarity.q_simhash, oracles.SIMHASH),
-    "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
-    "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
-    "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
-    # multimodal binary-column plumbing (golden VALUES oracle generated
-    # by the same pure-Python codec — checks the Spark plumbing e2e)
-    "image_meta_extract": (
-        multimodal.q_image_meta_extract,
-        oracles.IMAGE_META_EXTRACT,
-    ),
-    # point-in-time and interval joins (custom operators Spark lacks:
-    # as-of = union-window composition, range = bounded bucket binning)
-    "asof_join": (relational.q_asof_join, oracles.ASOF_JOIN),
-    "range_join": (relational.q_range_join, oracles.RANGE_JOIN),
-    # tile-hash partial-dup: the large-overlay image class whole-image
-    # phash misses (≥2 of 4 quadrant hashes identical, capped buckets)
-    "tile_partial_dup": (multimodal.q_tile_partial_dup, oracles.TILE_PARTIAL_DUP),
-    # PageRank frontier priority (iterative: 2 shuffles/round, integer-
-    # exact damping so the unrolled DuckDB levels match bit-for-bit)
-    "link_pagerank": (linkgraph.q_link_pagerank, oracles.LINK_PAGERANK),
-    # hypertable-style cascading minute→hour→day rollup; oracle derives
-    # the day grain directly from the scan, independent of the cascade
-    "multires_rollup": (relational.q_multires_rollup, oracles.MULTIRES_ROLLUP),
-    # HyperLogLog distinct-count sketch (256 mergeable registers,
-    # raw estimator is bit-exact dyadic math in both engines)
-    "hll_distinct": (sketches.q_hll_distinct, oracles.HLL_DISTINCT),
-    # content-defined-chunking storage dedup over binary payloads
-    # (gear-hash boundaries; only 8-byte chunk ids ever shuffle)
-    "cdc_chunk_dedup": (multimodal.q_cdc_chunk_dedup, oracles.CDC_CHUNK_DEDUP),
-    # product-quantization ADC ANN (8×1-byte codes, integer distances;
-    # the compressed-domain scan that makes billion-vector search cheap)
-    "ann_pq_adc_topk": (similarity.q_ann_pq_adc_topk, oracles.ANN_PQ_ADC_TOPK),
-    # count-min sketch heavy hitters (d×w mergeable counters + exact
-    # count audit column; estimate ≥ exact always)
-    "cms_heavy_hitters": (sketches.q_cms_heavy_hitters, oracles.CMS_HEAVY_HITTERS),
-    # metadata-only image curation gate (DataComp/LAION-style keep
-    # rules; bytes die inside the fetch kernel, rules are JVM-side and
-    # independently re-derived in the oracle's SQL)
-    "image_filter_gate": (
-        multimodal.q_image_filter_gate,
-        oracles.IMAGE_FILTER_GATE,
-    ),
-    # sequence packing manifest (two-phase distributed prefix sum →
-    # fixed context-window spans; all-int64, `div` == DuckDB `//`)
-    "seq_pack": (textstats.q_seq_pack, oracles.SEQ_PACK),
-    # histogram quantile sketch (256 mergeable equi-width bins; p50/
-    # p90/p99 token length via integer coverage test)
-    "quantile_sketch": (sketches.q_quantile_sketch, oracles.QUANTILE_SKETCH),
-    # inverted-index build (per-term df/tf + bounded posting-list head
-    # via spillable window rank — no unbounded collect_list state)
-    "inverted_index": (search.q_inverted_index, oracles.INVERTED_INDEX),
-    # JVM-only binary header parse (substring/hex/conv on the payload
-    # column — zero Python in the parse; encoder↔parser round-trip)
-    "payload_header_sniff": (
-        multimodal.q_payload_header_sniff,
-        oracles.PAYLOAD_HEADER_SNIFF,
-    ),
-    # sitemap.xml ingestion (bulk-discovery sibling of robots_parse;
-    # narrow map — the XML body never leaves its scan partition)
-    "sitemap_parse": (parsing.q_sitemap_parse, oracles.SITEMAP_PARSE),
-    # change-rate re-fetch scheduling (Cho & Garcia-Molina shape:
-    # one 8-byte-keyed groupBy + integer clamp map)
-    "refetch_schedule": (
-        relational.q_refetch_schedule,
-        oracles.REFETCH_SCHEDULE,
-    ),
-    # per-target anchor-text top-k (bounded window over pre-agg rows)
-    "anchor_text_topk": (linkgraph.q_anchor_text_topk, oracles.ANCHOR_TEXT_TOPK),
-    # crawl-trap defense: per-(host, digit-normalized template)
-    # distinct-URL caps — output is template-cardinality, never URLs
-    "crawl_trap_templates": (
-        parsing.q_crawl_trap_templates,
-        oracles.CRAWL_TRAP_TEMPLATES,
-    ),
-    # per-doc salient terms: tf · floor(SCALE/df), integer-exact idf
-    # surrogate; window ranks pre-aggregated (doc, term) rows only
-    "tfidf_topk_terms": (search.q_tfidf_topk_terms, oracles.TFIDF_TOPK_TERMS),
-    # max-min fair fetch-slot allocation (histogram waterfill — the
-    # only window covers distinct-demand rows, never a per-host sort)
-    "host_budget_waterfill": (
-        relational.q_host_budget_waterfill,
-        oracles.HOST_BUDGET_WATERFILL,
-    ),
-    # round-over-round frontier CDC diff (one full-outer equi-join)
-    "frontier_snapshot_diff": (
-        relational.q_frontier_snapshot_diff,
-        oracles.FRONTIER_SNAPSHOT_DIFF,
-    ),
-    # Matryoshka dimension-cascade ANN (prefix-cosine scan → shortlist
-    # → full-dim broadcast rerank; the index-free 4th ANN scale path)
-    "ann_matryoshka_topk": (
-        similarity.q_ann_matryoshka_topk,
-        oracles.ANN_MATRYOSHKA_TOPK,
-    ),
-    # site-level curation: relative domain-mean quality verdict joined
-    # back per-doc (text never shuffles; verdict side broadcast)
-    "domain_quality_gate": (
-        cleaning.q_domain_quality_gate,
-        oracles.DOMAIN_QUALITY_GATE,
-    ),
-    # CLIP-score-shaped caption↔image agreement gate (feature-hashed
-    # caption × fixed-point embedding — all-integer inner product)
-    "caption_align_gate": (
-        multimodal.q_caption_align_gate,
-        oracles.CAPTION_ALIGN_GATE,
-    ),
-    # CCNet-shaped perplexity terciles (integer unigram surprisal;
-    # edges from the doc-mean histogram — no global doc sort)
-    "perplexity_buckets": (
-        cleaning.q_perplexity_buckets,
-        oracles.PERPLEXITY_BUCKETS,
-    ),
-    # link-farm detection by out-link reciprocity (semi-join on the
-    # reversed edge key; planted symmetric ring exercises the flag)
-    "link_reciprocity": (
-        linkgraph.q_link_reciprocity,
-        oracles.LINK_RECIPROCITY,
-    ),
-    # parsing ladders (SURVEY.md §2 B6/E5-E12)
-    # pagination URL construction + KV-record codec (B7/B8/B12)
-    "paginated_url_modes": (
-        parsing.q_paginated_url_modes,
-        oracles.PAGINATED_URL_MODES,
-    ),
-    "page_one_normalize": (
-        parsing.q_page_one_normalize,
-        oracles.PAGE_ONE_NORMALIZE,
-    ),
-    # E2 attr extraction (empty-skip) + B7 full query re-encode
-    "attr_extract_empty_skip": (
-        parsing.q_attr_extract_empty_skip,
-        oracles.ATTR_EXTRACT_EMPTY_SKIP,
-    ),
-    "query_reencode_multiparam": (
-        parsing.q_query_reencode_multiparam,
-        oracles.QUERY_REENCODE_MULTIPARAM,
-    ),
-    # robots.txt → per-host politeness config (north-rule addition)
-    "robots_parse": (parsing.q_robots_parse, oracles.ROBOTS_PARSE),
-    # operator blocklist: broadcast (host|*, path-prefix) rules,
-    # longest-prefix-wins attribution
-    "url_blocklist_filter": (
-        parsing.q_url_blocklist_filter,
-        oracles.URL_BLOCKLIST_FILTER,
-    ),
-    "json_codec": (parsing.q_json_codec, oracles.JSON_CODEC),
-    # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
-    "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),
-    "raise_bonus": (extraction.q_raise_bonus, oracles.RAISE_BONUS),
-    "benefits_flags": (extraction.q_benefits_flags, oracles.BENEFITS_FLAGS),
-    "location_parse": (extraction.q_location_parse, oracles.LOCATION_PARSE),
-    # full scraper pipeline (A14-16 + E1-E17 composed; independent-
-    # derivation oracle — expected columns computed straight from doc_id)
-    "job_posting_csv": (_job_posting_csv, oracles.JOB_POSTING_CSV),
+    # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
     "exact_dedup": (textstats.q_exact_dedup, oracles.EXACT_DEDUP),
     "train_mix_sample": (textstats.q_train_mix_sample, oracles.TRAIN_MIX_SAMPLE),
     "pii_scrub": (cleaning.q_pii_scrub, oracles.PII_SCRUB),
+    # r5: both Exchanges now keyed on xxhash64(line), output unchanged
     "boilerplate_strip": (
         cleaning.q_boilerplate_strip,
         oracles.BOILERPLATE_STRIP,
@@ -312,7 +145,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.q_neardup_components,
         oracles.NEARDUP_COMPONENTS,
     ),
-    # ---- tail: three rounds of driver-green history (r1+r2+r3) ----
     # relational / crawl-operator analogs (SURVEY.md §2 A/C/D/F)
     "q1_pricing_summary": (relational.q_pricing_summary, oracles.PRICING_SUMMARY),
     "dedupe_anti_join": (relational.q_dedupe_anti_join, oracles.DEDUPE_ANTI_JOIN),
@@ -343,6 +175,177 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "classifier_ladder": (parsing.q_classifier_ladder, oracles.CLASSIFIER_LADDER),
     "amount_parse": (parsing.q_amount_parse, oracles.AMOUNT_PARSE),
     "optional_uint": (parsing.q_optional_uint, oracles.OPTIONAL_UINT),
+    # ---- 39: new this round ----
+    # composed crawl→train pipeline: scrape + verify/curation/caption
+    # gates + exact caption dedup + seq-pack manifest over a pages-
+    # shaped frame (the engine-integration test feeds CrawlResult.pages
+    # through the same crawl_to_train function)
+    "crawl_to_train": (trainpipe.q_crawl_to_train, oracles.CRAWL_TO_TRAIN),
+    # ---- 40-50: r04-green entries touched or adjacent this round ----
+    # max-min fair fetch-slot allocation — r5: sub-level remainder now
+    # distributed exactly (Σ alloc == cap when demand ≥ cap)
+    "host_budget_waterfill": (
+        relational.q_host_budget_waterfill,
+        oracles.HOST_BUDGET_WATERFILL,
+    ),
+    # crawl-trap defense — r5: overflow-safe session-id mix
+    "crawl_trap_templates": (
+        parsing.q_crawl_trap_templates,
+        oracles.CRAWL_TRAP_TEMPLATES,
+    ),
+    # link-farm detection — r5: farm index via exact _floordiv
+    "link_reciprocity": (
+        linkgraph.q_link_reciprocity,
+        oracles.LINK_RECIPROCITY,
+    ),
+    # PageRank — r5: pagerank_ranks refactor (now also the engine's
+    # order='pagerank' priority source, golden-trace pinned)
+    "link_pagerank": (linkgraph.q_link_pagerank, oracles.LINK_PAGERANK),
+    "anchor_text_topk": (linkgraph.q_anchor_text_topk, oracles.ANCHOR_TEXT_TOPK),
+    # sequence packing manifest (two-phase distributed prefix sum —
+    # crawl_to_train composes the same shape)
+    "seq_pack": (textstats.q_seq_pack, oracles.SEQ_PACK),
+    # metadata-only image curation gate (crawl_to_train composes the
+    # same rule family)
+    "image_filter_gate": (
+        multimodal.q_image_filter_gate,
+        oracles.IMAGE_FILTER_GATE,
+    ),
+    # point-in-time and interval joins (custom operators Spark lacks)
+    "asof_join": (relational.q_asof_join, oracles.ASOF_JOIN),
+    "range_join": (relational.q_range_join, oracles.RANGE_JOIN),
+    # hypertable-style cascading minute→hour→day rollup
+    "multires_rollup": (relational.q_multires_rollup, oracles.MULTIRES_ROLLUP),
+    # change-rate re-fetch scheduling (Cho & Garcia-Molina shape)
+    "refetch_schedule": (
+        relational.q_refetch_schedule,
+        oracles.REFETCH_SCHEDULE,
+    ),
+    # ---- tail: r04 driver-green, unchanged this round ----
+    "ann_ivf_topk": (similarity.q_ann_ivf_topk, oracles.ANN_IVF_TOPK),
+    # SemDeDup-shaped semantic dedup: IVF cell assign → within-cell
+    # lower-id cosine gate (per-cell pairs only, never all-pairs)
+    "semantic_dedup": (similarity.q_semantic_dedup, oracles.SEMANTIC_DEDUP),
+    # BM25 keyword top-k (fixed conjunctive query, TakeOrdered top-k)
+    "bm25_topk": (search.q_bm25_topk, oracles.BM25_TOPK_SQL),
+    "phash_neardup": (multimodal.q_phash_neardup, oracles.PHASH_NEARDUP),
+    "phash_components": (
+        multimodal.q_phash_components,
+        oracles.PHASH_COMPONENTS,
+    ),
+    "video_frame_sample": (
+        multimodal.q_video_frame_sample,
+        oracles.VIDEO_FRAME_SAMPLE,
+    ),
+    "audio_features": (multimodal.q_audio_features, oracles.AUDIO_FEATURES),
+    "simhash": (similarity.q_simhash, oracles.SIMHASH),
+    "embedding_neardup": (similarity.q_embedding_neardup, oracles.EMBEDDING_NEARDUP),
+    "ann_cosine_topk": (similarity.q_ann_cosine_topk, oracles.ANN_COSINE_TOPK),
+    "ann_lsh_topk": (similarity.q_ann_lsh_topk, oracles.ANN_LSH_TOPK),
+    # multimodal binary-column plumbing (golden VALUES oracle generated
+    # by the same pure-Python codec — checks the Spark plumbing e2e)
+    "image_meta_extract": (
+        multimodal.q_image_meta_extract,
+        oracles.IMAGE_META_EXTRACT,
+    ),
+    # tile-hash partial-dup: the large-overlay image class whole-image
+    # phash misses (≥2 of 4 quadrant hashes identical, capped buckets)
+    "tile_partial_dup": (multimodal.q_tile_partial_dup, oracles.TILE_PARTIAL_DUP),
+    # HyperLogLog distinct-count sketch (256 mergeable registers,
+    # raw estimator is bit-exact dyadic math in both engines)
+    "hll_distinct": (sketches.q_hll_distinct, oracles.HLL_DISTINCT),
+    # content-defined-chunking storage dedup over binary payloads
+    # (gear-hash boundaries; only 8-byte chunk ids ever shuffle)
+    "cdc_chunk_dedup": (multimodal.q_cdc_chunk_dedup, oracles.CDC_CHUNK_DEDUP),
+    # product-quantization ADC ANN (8×1-byte codes, integer distances;
+    # the compressed-domain scan that makes billion-vector search cheap)
+    "ann_pq_adc_topk": (similarity.q_ann_pq_adc_topk, oracles.ANN_PQ_ADC_TOPK),
+    # count-min sketch heavy hitters (d×w mergeable counters + exact
+    # count audit column; estimate ≥ exact always)
+    "cms_heavy_hitters": (sketches.q_cms_heavy_hitters, oracles.CMS_HEAVY_HITTERS),
+    # histogram quantile sketch (256 mergeable equi-width bins; p50/
+    # p90/p99 token length via integer coverage test)
+    "quantile_sketch": (sketches.q_quantile_sketch, oracles.QUANTILE_SKETCH),
+    # inverted-index build (per-term df/tf + bounded posting-list head
+    # via spillable window rank — no unbounded collect_list state)
+    "inverted_index": (search.q_inverted_index, oracles.INVERTED_INDEX),
+    # JVM-only binary header parse (substring/hex/conv on the payload
+    # column — zero Python in the parse; encoder↔parser round-trip)
+    "payload_header_sniff": (
+        multimodal.q_payload_header_sniff,
+        oracles.PAYLOAD_HEADER_SNIFF,
+    ),
+    # sitemap.xml ingestion (bulk-discovery sibling of robots_parse;
+    # narrow map — the XML body never leaves its scan partition)
+    "sitemap_parse": (parsing.q_sitemap_parse, oracles.SITEMAP_PARSE),
+    # per-doc salient terms: tf · floor(SCALE/df), integer-exact idf
+    # surrogate; window ranks pre-aggregated (doc, term) rows only
+    "tfidf_topk_terms": (search.q_tfidf_topk_terms, oracles.TFIDF_TOPK_TERMS),
+    # round-over-round frontier CDC diff (one full-outer equi-join)
+    "frontier_snapshot_diff": (
+        relational.q_frontier_snapshot_diff,
+        oracles.FRONTIER_SNAPSHOT_DIFF,
+    ),
+    # Matryoshka dimension-cascade ANN (prefix-cosine scan → shortlist
+    # → full-dim broadcast rerank; the index-free 4th ANN scale path)
+    "ann_matryoshka_topk": (
+        similarity.q_ann_matryoshka_topk,
+        oracles.ANN_MATRYOSHKA_TOPK,
+    ),
+    # site-level curation: relative domain-mean quality verdict joined
+    # back per-doc (text never shuffles; verdict side broadcast)
+    "domain_quality_gate": (
+        cleaning.q_domain_quality_gate,
+        oracles.DOMAIN_QUALITY_GATE,
+    ),
+    # CLIP-score-shaped caption↔image agreement gate (feature-hashed
+    # caption × fixed-point embedding — all-integer inner product)
+    "caption_align_gate": (
+        multimodal.q_caption_align_gate,
+        oracles.CAPTION_ALIGN_GATE,
+    ),
+    # CCNet-shaped perplexity terciles (integer unigram surprisal;
+    # edges from the doc-mean histogram — no global doc sort)
+    "perplexity_buckets": (
+        cleaning.q_perplexity_buckets,
+        oracles.PERPLEXITY_BUCKETS,
+    ),
+    # parsing ladders (SURVEY.md §2 B6/E5-E12)
+    # pagination URL construction + KV-record codec (B7/B8/B12)
+    "paginated_url_modes": (
+        parsing.q_paginated_url_modes,
+        oracles.PAGINATED_URL_MODES,
+    ),
+    "page_one_normalize": (
+        parsing.q_page_one_normalize,
+        oracles.PAGE_ONE_NORMALIZE,
+    ),
+    # E2 attr extraction (empty-skip) + B7 full query re-encode
+    "attr_extract_empty_skip": (
+        parsing.q_attr_extract_empty_skip,
+        oracles.ATTR_EXTRACT_EMPTY_SKIP,
+    ),
+    "query_reencode_multiparam": (
+        parsing.q_query_reencode_multiparam,
+        oracles.QUERY_REENCODE_MULTIPARAM,
+    ),
+    # robots.txt → per-host politeness config (north-rule addition)
+    "robots_parse": (parsing.q_robots_parse, oracles.ROBOTS_PARSE),
+    # operator blocklist: broadcast (host|*, path-prefix) rules,
+    # longest-prefix-wins attribution
+    "url_blocklist_filter": (
+        parsing.q_url_blocklist_filter,
+        oracles.URL_BLOCKLIST_FILTER,
+    ),
+    "json_codec": (parsing.q_json_codec, oracles.JSON_CODEC),
+    # scraper extraction (SURVEY.md §2 E8-E10, E15-E16)
+    "salary_parse": (extraction.q_salary_parse, oracles.SALARY_PARSE),
+    "raise_bonus": (extraction.q_raise_bonus, oracles.RAISE_BONUS),
+    "benefits_flags": (extraction.q_benefits_flags, oracles.BENEFITS_FLAGS),
+    "location_parse": (extraction.q_location_parse, oracles.LOCATION_PARSE),
+    # full scraper pipeline (A14-16 + E1-E17 composed; independent-
+    # derivation oracle — expected columns computed straight from doc_id)
+    "job_posting_csv": (_job_posting_csv, oracles.JOB_POSTING_CSV),
 }
 
 
