@@ -182,6 +182,7 @@ def main() -> None:
         "caption_align_gate",  # CLIP-shaped multimodal agreement
         "perplexity_buckets",  # CCNet tercile LM-quality split
         "link_reciprocity",  # link-farm flag (edge-key semi-join)
+        "crawl_to_train",  # composed pages→training-shards pipeline
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

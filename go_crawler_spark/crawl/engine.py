@@ -695,6 +695,26 @@ class CrawlEngine:
             flagged.unpersist()
         return fresh, trace, pages, stats, edges_inc
 
+    def _pagerank_table(
+        self, nodes: DataFrame, edges: DataFrame | None
+    ) -> DataFrame:
+        """(url_hash, pr) over every known node — the order='pagerank'
+        dequeue priority source, checkpointed eagerly (one action; the
+        table is read by every dequeue until the next recompute)."""
+        from go_crawler_spark.functions.linkgraph import pagerank_ranks
+
+        if edges is None:
+            edges = self.spark.createDataFrame([], "src long, dst long")
+        return (
+            pagerank_ranks(
+                nodes.select(F.col("url_hash").alias("doc_id")),
+                edges,
+                self.cfg.pagerank_iters,
+            )
+            .select(F.col("doc_id").alias("url_hash"), "pr")
+            .localCheckpoint(eager=True)
+        )
+
     # -- full run ------------------------------------------------------
 
     def run(
@@ -746,13 +766,30 @@ class CrawlEngine:
         pages_parts: list[DataFrame] = []
         metrics: list[RoundStats] = []
         # order='pagerank' state: discovered-edge increments (one
-        # checkpointed frame per round) and the latest rank table.
-        # On resume, edges from pre-resume rounds are not replayed —
-        # ranks rebuild from post-resume discoveries (documented; the
-        # golden-trace scenarios run from round 0).
+        # checkpointed frame per round; store-committed alongside the
+        # frontier when a store is attached) and the latest rank table.
         use_pr = cfg.order == "pagerank"
         edge_incs: list[DataFrame] = []
         ranks_df: DataFrame | None = None
+        if use_pr and start_round > 0 and self.store is not None:
+            # resume parity: hydrate the edge history from the store,
+            # and rebuild the rank table that was IN FORCE at the
+            # resume point — computed at round r0 = the last recompute
+            # round, from frontier/edge state as of step r0 — so a
+            # resumed crawl dequeues exactly as the uninterrupted one.
+            stored = self.store.read("edges")
+            if stored is not None:
+                edge_incs.append(
+                    stored.select("src", "dst").localCheckpoint(eager=True)
+                )
+            r0 = (start_round // cfg.pagerank_every) * cfg.pagerank_every
+            if r0 < start_round:  # else round start_round recomputes anyway
+                nodes0 = self.store.read("frontier", as_of_step=r0)
+                ed0 = self.store.read("edges", as_of_step=r0)
+                ranks_df = self._pagerank_table(
+                    nodes0.select("url_hash"),
+                    None if ed0 is None else ed0.select("src", "dst").distinct(),
+                )
 
         for k in range(start_round, start_round + cfg.max_rounds):
             if pending == 0:
@@ -764,24 +801,14 @@ class CrawlEngine:
                 # next recompute). distinct() across increments because
                 # the same (src, dst) edge can re-surface in later
                 # rounds (pages re-linking already-seen URLs).
-                from go_crawler_spark.functions.linkgraph import pagerank_ranks
-
                 if edge_incs:
                     edges = edge_incs[0]
                     for e in edge_incs[1:]:
                         edges = edges.unionByName(e)
                     edges = edges.distinct()
                 else:
-                    edges = spark.createDataFrame([], "src long, dst long")
-                ranks_df = (
-                    pagerank_ranks(
-                        seen_hashes.select(F.col("url_hash").alias("doc_id")),
-                        edges,
-                        cfg.pagerank_iters,
-                    )
-                    .select(F.col("doc_id").alias("url_hash"), "pr")
-                    .localCheckpoint(eager=True)
-                )
+                    edges = None
+                ranks_df = self._pagerank_table(seen_hashes, edges)
             fresh, trace, pages, stats, edges_inc = self.run_round(
                 pending_df, seen_hashes, k, bloom, with_payload_verify,
                 ranks=ranks_df,
@@ -793,6 +820,12 @@ class CrawlEngine:
             if self.store is not None:
                 self.store.append("frontier", fresh, k + 1)
                 self.store.append("status_log", trace, k + 1)
+                if edges_inc is not None:
+                    # pagerank lineage: the discovered-edge increments
+                    # ride the same atomic step commit, so a resumed
+                    # run could rebuild the rank table from the store
+                    # instead of starting edge-blind
+                    self.store.append("edges", edges_inc, k + 1)
                 if pages is not None:
                     self.store.append("pages", pages, k + 1)
                 self.store.append(

@@ -21,8 +21,10 @@ in ``status_log`` and are resolved at read time (store-side analog of
 Iceberg MoR deletes), so no round ever rewrites the 10^10-row frontier.
 
 Tables: frontier (discoveries), status_log, pages (fetched payload
-metadata + verify results), metrics (per-round counters). ``round`` is
-the lineage/partition column on every row.
+metadata + verify results), metrics (per-round counters), edges
+(order='pagerank' discovered-link increments — rank-table lineage and
+the resume source for the rank rebuild). ``round`` is the
+lineage/partition column on every row.
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-TABLES = ("frontier", "status_log", "pages", "metrics")
+TABLES = ("frontier", "status_log", "pages", "metrics", "edges")
 
 
 class SnapshotStore:

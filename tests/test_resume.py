@@ -164,3 +164,55 @@ def test_time_travel_read(spark, tmp_path_factory, corpus_df, robots_df):
     assert n_by_step == sorted(n_by_step)
     # and the full view equals the default (no as_of) read
     assert n_by_step[-1] == store.current_frontier().count()
+
+
+def test_pagerank_resume_equals_uninterrupted(
+    spark, tmp_path_factory, corpus_df, robots_df
+):
+    """order='pagerank' + resume: the resumed run hydrates the stored
+    edge increments AND rebuilds the rank table that was in force at
+    the resume point (computed at the last recompute round from state
+    as of that step), so its dequeue order — not just its end state —
+    matches the uninterrupted run exactly. Interrupting at round 3 with
+    pagerank_every=2 lands the resume on a NON-recompute round, the
+    case where a stale-blind resume would diverge."""
+    import dataclasses
+
+    from go_crawler_spark.crawl.simulator import simulate
+
+    cfg = dataclasses.replace(CFG, order="pagerank", pagerank_every=2,
+                              pagerank_iters=2)
+    golden = simulate(SPEC, cfg)
+    assert golden.rounds >= 5  # enough rounds to interrupt mid-cadence
+
+    base = str(tmp_path_factory.mktemp("crawlstore_pr"))
+    store1 = SnapshotStore(spark, base)
+    cfg_partial = dataclasses.replace(cfg, max_rounds=3)
+    CrawlEngine(spark, cfg_partial, corpus_df, robots_df, store=store1).run(
+        spec=SPEC, with_payload_verify=False
+    )
+    assert store1.latest_step() == 3  # resume lands on round 3 (odd)
+
+    store2 = SnapshotStore(spark, base)
+    resumed = CrawlEngine(spark, cfg, corpus_df, robots_df, store=store2).run(
+        spec=SPEC, with_payload_verify=False, resume=True
+    )
+    assert resumed.metrics[0].round == 3
+    # the resumed rounds' trace must equal the golden trace rows for
+    # rounds >= 3 — order included (the rank table in force matches)
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in resumed.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    expect = [
+        (rnd, url, status)
+        for rnd, _d, _s, url, _h, status in golden.trace
+        if rnd >= 3
+    ]
+    assert got == expect
+    # end state identical to the full golden seen set
+    seen = {
+        r["url"] for r in store2.current_frontier().select("url").collect()
+    }
+    assert seen == golden.seen

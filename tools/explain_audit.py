@@ -427,6 +427,12 @@ def audit_engine_round() -> int:
     dequeued = eng._dequeue(pending.filter(F.col("status") == "PENDING")).select(
         "url_hash", "url", "host", "depth", "seq_path"
     )
+    # order='pagerank' dequeue: the rank table joins by url_hash as a
+    # BROADCAST (no extra Exchange beyond the politeness window's own)
+    ranks = pending.select("url_hash", F.lit(1).cast("long").alias("pr"))
+    pr_dequeued = eng._dequeue(
+        pending.filter(F.col("status") == "PENDING"), ranks
+    ).select("url_hash", "url", "priority")
     corpus_meta = corpus_df.select(
         "url_hash", "kind", "next_url", "total_count", "outlinks", "fetch_ok"
     )
@@ -448,6 +454,12 @@ def audit_engine_round() -> int:
             dequeued,
             ["Window"],
             ["CartesianProduct", "BroadcastNestedLoopJoin", "Sort [", "Exchange rangepartitioning"],
+        ),
+        "round_dequeue_pagerank": (
+            pr_dequeued,
+            ["Window", "BroadcastHashJoin"],
+            ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+             "Exchange rangepartitioning"],
         ),
         "round_fetch_join": (
             hit,
