@@ -68,10 +68,12 @@ def run_registry_queries(
     return timings, runs
 
 
-def run_crawl_e2e(spark, scale: float) -> dict:
-    """End-to-end BFS over a payload-free corpus (depth-bounded, so the
-    per-round driver overhead shows up here — the kernel bench below is
-    the scale-honest number)."""
+def run_crawl_e2e(spark, scale: float, order: str = "bfs") -> dict:
+    """End-to-end crawl over a payload-free corpus (depth-bounded, so
+    the per-round driver overhead shows up here — the kernel bench
+    below is the scale-honest number). order='pagerank' additionally
+    prices the rank-table recompute + broadcast rank join per round
+    (the north rule's priority axis with a real authority signal)."""
     from go_crawler_spark.crawl import corpus
     from go_crawler_spark.crawl.config import CorpusSpec, CrawlConfig
     from go_crawler_spark.crawl.engine import CrawlEngine
@@ -84,7 +86,7 @@ def run_crawl_e2e(spark, scale: float) -> dict:
         payloads=False,
     )
     cfg = CrawlConfig(round_seconds=36000.0, per_page=spec.details_per_page,
-                      max_rounds=8, bloom_shards=16)
+                      max_rounds=8, bloom_shards=16, order=order)
     corpus_df = corpus.build_corpus(spark, spec).localCheckpoint(eager=True)
     n_corpus = corpus_df.count()
     robots_df = corpus.build_robots(spark, spec, cfg.disallow)
@@ -202,6 +204,7 @@ def main() -> None:
     kernel = min(kernel_runs, key=lambda k: k["elapsed_sec"])
     kernel["elapsed_sec_runs"] = [k["elapsed_sec"] for k in kernel_runs]
     crawl = run_crawl_e2e(spark, scale)
+    crawl_pr = run_crawl_e2e(spark, scale, order="pagerank")
     total = round(time.time() - t_all, 2)
 
     try:
@@ -227,6 +230,7 @@ def main() -> None:
                 "total_sec": total,
                 "crawl_round_kernel": kernel,
                 "crawl_e2e_bfs": crawl,
+                "crawl_e2e_pagerank": crawl_pr,
                 "cpus": cpus,
             }
         ),
@@ -248,6 +252,10 @@ def main() -> None:
         "crawl_e2e_bfs": {
             "urls_per_sec": crawl["urls_per_sec"],
             "elapsed_sec": crawl["elapsed_sec"],
+        },
+        "crawl_e2e_pagerank": {
+            "urls_per_sec": crawl_pr["urls_per_sec"],
+            "elapsed_sec": crawl_pr["elapsed_sec"],
         },
     }
     line = json.dumps(summary)
