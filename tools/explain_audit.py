@@ -150,6 +150,14 @@ AUDITED = {
         ["Window", "Scan parquet"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # crawl→train composition: the caption-dedup window shuffles on the
+    # 8-byte cap_key, the packing stage is windows + a broadcast bucket-
+    # offset join — nothing may nested-loop or sort globally
+    "crawl_to_train": (
+        ["Window", "MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin",
+         "Exchange rangepartitioning"],
+    ),
     # tokenizer count + Gopher rules: pure narrow codegen maps, no shuffle
     "token_count_bpe": (
         ["Project", "Scan parquet"],
