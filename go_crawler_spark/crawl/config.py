@@ -74,9 +74,17 @@ class CrawlConfig:
     round_seconds: float = 60.0
     max_rounds: int = 64
     per_page: int = 8  # items per list page for total_count math (B5)
-    bloom_shards: int = 8
+    bloom_shards: int = 8  # shard count for EITHER seen filter (cuckoo
+    # shares it: the saturation rebuild doubles shards in both designs)
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
+    seen_filter: str = "bloom"  # tier-1 URL-seen filter: "bloom"
+    # (OR-accumulating bitmaps) or "cuckoo" (16-bit-fingerprint buckets;
+    # supports delete() for re-fetch scheduling). Tier 2 (exact
+    # broadcast anti-join) is identical either way, so the golden trace
+    # cannot depend on the choice — pinned by test.
+    cuckoo_buckets_per_shard: int = 1 << 14  # power of two (XOR relocation)
+    cuckoo_bucket_size: int = 4
     host_salt_buckets: int = 4  # skew: hot-host salting fan-out (F2/§4.2)
     broadcast_fetch: bool = True  # fetch join strategy: broadcast the
     # politeness-bounded dequeued side (bytes never shuffle — the normal
@@ -129,6 +137,13 @@ class CrawlConfig:
             raise ValueError("max_rounds must be >= 1")
         if self.bloom_shards < 1 or self.bloom_hashes < 1:
             raise ValueError("bloom params must be >= 1")
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError("seen_filter must be 'bloom' or 'cuckoo'")
+        nb = self.cuckoo_buckets_per_shard
+        if nb < 2 or (nb & (nb - 1)) != 0:
+            raise ValueError("cuckoo_buckets_per_shard must be a power of two >= 2")
+        if self.cuckoo_bucket_size < 1:
+            raise ValueError("cuckoo_bucket_size must be >= 1")
         for rule in (*self.disallow, *self.allow):
             if not rule.startswith("/"):
                 raise ValueError(

@@ -758,9 +758,18 @@ class CrawlEngine:
         # no per-round full-frontier scan just to decide termination
         pending = pending_df.count()
         bloom_cfg = cfg  # grows bloom_shards on saturation rebuilds
-        bloom = (
-            BloomShards.build(base.select("url_hash"), cfg) if use_bloom else None
-        )
+        # tier-1 filter family (cfg.seen_filter): Bloom bitmaps or cuckoo
+        # fingerprint buckets — identical engine interface; tier 2 keeps
+        # the seen set exact either way, so this is a physical choice
+        if use_bloom:
+            if cfg.seen_filter == "cuckoo":
+                from go_crawler_spark.crawl.cuckoo import CuckooShards
+
+                bloom = CuckooShards.build(base.select("url_hash"), cfg)
+            else:
+                bloom = BloomShards.build(base.select("url_hash"), cfg)
+        else:
+            bloom = None
 
         traces: list[DataFrame] = []
         pages_parts: list[DataFrame] = []
@@ -838,9 +847,9 @@ class CrawlEngine:
                     # driver-side (one job, no shuffle)
                     rows = fresh.select("url_hash").collect()
                     bloom = bloom.with_hashes([r["url_hash"] for r in rows])
-                else:  # giant round: distributed build + OR-merge
+                else:  # giant round: distributed build + merge
                     bloom = bloom.union(
-                        BloomShards.build(fresh.select("url_hash"), bloom_cfg)
+                        type(bloom).build(fresh.select("url_hash"), bloom_cfg)
                     )
                 # saturation policy (bloom.py module doc): estimated fp
                 # above threshold → rebuild from the exact seen set with
@@ -851,7 +860,7 @@ class CrawlEngine:
                     bloom_cfg = replace(
                         bloom_cfg, bloom_shards=bloom_cfg.bloom_shards * 2
                     )
-                    bloom = BloomShards.build(
+                    bloom = type(bloom).build(
                         seen_hashes.unionByName(fresh.select("url_hash")),
                         bloom_cfg,
                     )
