@@ -185,6 +185,9 @@ def main() -> None:
         "perplexity_buckets",  # CCNet tercile LM-quality split
         "link_reciprocity",  # link-farm flag (edge-key semi-join)
         "crawl_to_train",  # composed pages→training-shards pipeline
+        "exact_substr_coverage",  # duplicated-span union coverage
+        "phash_reverse_search",  # multi-index hamming top-k retrieval
+        "hits_scores",  # hubs/authorities link analysis
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -12,12 +12,11 @@ Scale notes:
 - PII scrub is a pure narrow map (regexp_count/regexp_replace are
   JVM-side codegen) — no shuffle, filter-free, scales linearly.
 - Boilerplate removal is the two-pass frequency scheme: pass 1 counts
-  per-line document frequency (one shuffle keyed by line), pass 2
-  drops lines above the threshold and reassembles. At 100 TB the
-  frequency key would be xxhash64(line) (8-byte shuffle rows, exact
-  string equality re-checked on the survivors); here the key is the
-  line itself so the oracle stays engine-agnostic. The threshold
-  compare is integer rational (cnt·DEN ≥ docs·NUM), no float boundary.
+  per-line document frequency, pass 2 drops lines above the threshold
+  and reassembles. Both Exchanges key on xxhash64(line) — 8-byte
+  shuffle rows; the raw line text stays map-side in the exploded
+  frame (see q_boilerplate_strip). The threshold compare is integer
+  rational (cnt·DEN ≥ docs·NUM), no float boundary.
 """
 
 from __future__ import annotations
@@ -465,4 +464,120 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.crossJoin(F.broadcast(thr)).select(
         "doc_id", "n_tokens", "surprisal_sum", "doc_mean",
         bucket.alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring coverage (the span-union variant of exact substring
+# dedup, Lee et al. 2022, arXiv:2107.06499 §3.1): every position whose
+# word 8-gram occurs ≥2 times anywhere in the corpus (another doc OR a
+# self-repeat) opens a duplicated span [pos, pos+K); the per-doc metric
+# is the token count covered by the UNION of those spans — contiguous
+# coverage, not the distinct-shingle ratio q_dup_ngram_fraction reports
+# (a doc whose dup shingles all overlap one run scores low here, high
+# there). This is the quantity the suffix-array ExactSubstr pass
+# removes; the gate drops docs with ≥ NUM/DEN of positions covered.
+#
+# Scale shape: positional (pos, hash) pairs are built map-side inside
+# one array expression — the token text never leaves its scan
+# partition; both shuffles (the occurrence-count groupBy and the
+# join-back probe) key on the 8-byte poly-hash; the interval union is
+# a per-doc window over long pairs (running max of span ends), so a
+# doc's state is its dup positions, never its text. At 100 TB the
+# only wide data is (doc_id, pos, h) longs.
+# --------------------------------------------------------------------------
+
+EXSUB_K = 8  # span length in word tokens (same grain as DUPNGRAM_N)
+EXSUB_NUM = 1  # exsub_drop ⇔ covered·DEN ≥ n_tokens·NUM (20%)
+EXSUB_DEN = 5
+
+
+def _positional_span_hashes():
+    """array<struct<pos,h>> of poly-hashes of the word EXSUB_K-gram at
+    each 1-based position — shingle_hashes' fold (mod P31), kept
+    positional and non-distinct so spans can be unioned downstream."""
+    from go_crawler_spark.functions.similarity import P31
+
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (EXSUB_K - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.aggregate(
+                    F.split(F.array_join(F.slice(toks, i, EXSUB_K), " "), ""),
+                    F.lit(0).cast("long"),
+                    lambda acc, c: (acc * 31 + F.ascii(c)) % P31,
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+
+
+def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: token count, tokens covered by the union of
+    duplicated EXSUB_K-gram spans, and the ExactSubstr drop verdict
+    (covered·EXSUB_DEN ≥ n_tokens·EXSUB_NUM, integer-exact)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        _positional_span_hashes().alias("sps"),
+    )
+    expl = base.select("doc_id", F.explode("sps").alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
+    )
+    # any second occurrence anywhere (cross-doc or self-repeat) ⇒ dup
+    dup = (
+        expl.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    hits = expl.join(dup, "h").select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # union of [pos, pos+K): new coverage = span end minus the running
+    # max of prior ends (clamped at the span start; spans share K so a
+    # prior end can never pass this span's end)
+    cov = hits.withColumn(
+        "prev_end", F.max(F.col("pos") + EXSUB_K).over(w)
+    ).select(
+        "doc_id",
+        (
+            F.col("pos")
+            + EXSUB_K
+            - F.greatest(
+                F.col("pos"), F.coalesce(F.col("prev_end"), F.col("pos"))
+            )
+        ).alias("c"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("covered_tokens")
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            (
+                (F.col("n_tokens") > 0)
+                & (
+                    F.coalesce(F.col("covered_tokens"), F.lit(0)) * EXSUB_DEN
+                    >= F.col("n_tokens") * EXSUB_NUM
+                )
+            ).alias("exsub_drop"),
+        )
     )

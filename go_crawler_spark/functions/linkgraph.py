@@ -284,3 +284,91 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ppm >= RECIP_PPM_THRESH).alias("farm_flag"),
         )
     )
+
+
+# --- HITS hubs & authorities --------------------------------------------------
+# The second classical link-authority signal (Kleinberg, JACM 1999):
+# authorities are pointed at by good hubs, hubs point at good
+# authorities. Complements PageRank on the same discovered-edge table
+# — a crawl frontier wants authorities (fetch them), a link-farm
+# auditor wants hubs (they reveal who is propping whom up).
+#
+# Determinism: the mutual-reinforcement update is two sparse
+# matrix-vector products per iteration, each normalized to HITS_SCALE
+# total mass by exact wide floor-division (the float ℓ²-normalization
+# of textbook HITS is replaced by an ℓ¹ rescale, which preserves the
+# ranking and keeps every value a bit-exact long in both engines).
+# Per iteration: 2 join-by-key + 2 groupBy shuffles over (long, long)
+# rows plus two broadcast one-row sums — never all-pairs, no driver
+# state; a 10^10-edge graph iterates exactly like PageRank does.
+
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000_000
+
+
+def _l1_rescale(nodes: DataFrame, raw: DataFrame, col: str) -> DataFrame:
+    """(doc_id, col) for EVERY node: raw values rescaled to sum ≈
+    HITS_SCALE by floor(v·SCALE / Σv), missing nodes at 0. Σv rides a
+    broadcast one-row aggregate — no collect."""
+    tot = raw.agg(F.sum("v").cast("long").alias("tot"))
+    return (
+        nodes.join(raw.withColumnRenamed("dst_or_src", "doc_id"), "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            _mul_floordiv_wide(
+                F.coalesce(F.col("v"), F.lit(0).cast("long")),
+                F.lit(HITS_SCALE).cast("long"),
+                F.col("tot"),
+            ).alias(col),
+        )
+    )
+
+
+def hits_scores(
+    nodes: DataFrame, edges: DataFrame, iters: int = HITS_ITERS
+) -> DataFrame:
+    """(doc_id, auth, hub) for EVERY node after ``iters`` exact-integer
+    HITS rounds. nodes: (doc_id); edges: (src, dst).
+
+    Round t: auth_raw(v) = Σ_{u→v} hub(u);  auth = ℓ¹-rescale;
+             hub_raw(u)  = Σ_{u→v} auth(v); hub  = ℓ¹-rescale.
+    The edges frame is reused across rounds (same localCheckpoint
+    discipline as pagerank_ranks would be applied by callers that
+    iterate more; at HITS_ITERS=2 the plan stays small without it)."""
+    hub = nodes.select("doc_id", F.lit(HITS_SCALE).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(
+                hub.select(F.col("doc_id").alias("src"), "hub"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("hub").cast("long").alias("v"))
+            .withColumnRenamed("dst", "dst_or_src")
+        )
+        auth = _l1_rescale(nodes, a_raw, "auth")
+        h_raw = (
+            edges.join(
+                auth.select(F.col("doc_id").alias("dst"), "auth"), "dst"
+            )
+            .groupBy("src")
+            .agg(F.sum("auth").cast("long").alias("v"))
+            .withColumnRenamed("src", "dst_or_src")
+        )
+        hub = _l1_rescale(nodes, h_raw, "hub")
+    return auth.join(hub, "doc_id").select("doc_id", "auth", "hub")
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the synthesized doc link graph: (doc_id, auth, hub)
+    after HITS_ITERS exact-integer mutual-reinforcement rounds — the
+    hub/authority complement to q_link_pagerank on the same edges.
+
+    Scale shape: identical to PageRank's — per round the only wide
+    data is (long, long) edge/score rows shuffled by src or dst; the
+    ℓ¹ rescale is a broadcast of a one-row sum. DECIMAL(38,0) wide
+    math on the Spark side, HUGEINT // in DuckDB: bit-identical longs
+    in any aggregation order at any corpus size."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return hits_scores(docs, link_edges(docs))

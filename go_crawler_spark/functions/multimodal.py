@@ -1161,3 +1161,163 @@ def q_caption_align_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# --- reverse image search (multi-index hamming top-k) ------------------------
+# Retrieval flip of q_phash_neardup: given Q query images, find each
+# one's top-k nearest corpus images by phash Hamming distance. The
+# multi-index hashing trick (Norouzi et al., CVPR 2012): split the
+# 64-bit hash into 4 × 16-bit bands; any pair within Hamming radius 3
+# shares at least one exact band (pigeonhole), so candidates come from
+# 4 equi-joins on (band_id, band_val) — never a Q×N scan — and the
+# exact bit_count(XOR) rerank runs only on candidates. Hot corpus
+# buckets are capped exactly like the near-dup pass (a constant-color
+# class would otherwise make every query pay O(bucket) rerank).
+
+REVSEARCH_MOD = 25  # queries: perturbed copies of doc_id % 25 == 7 bases
+# residue 7 ⇒ every other query's base ALSO has a planted near-dup
+# variant (doc_id % 10 == 7), so ranks ≥ 2 are exercised, not just the
+# trivial self-match
+REVSEARCH_RES = 7
+REVSEARCH_TOPK = 3
+REVSEARCH_QUERY_OFFSET = 200_000  # query_id = doc_id + offset
+
+
+def _revsearch_query_rows(doc_ids) -> list[dict]:
+    """Deterministic (query_id, qhash) rows: the base image with a
+    small brightness patch in the BOTTOM-RIGHT corner (disjoint from
+    _phash_rows' top-left near-dup patch), so a query is a few bits
+    from its base but not byte-identical to any corpus row."""
+    rows = []
+    for did in doc_ids:
+        did = int(did)
+        px = _phash_pixels(did).copy()
+        h, w = px.shape[:2]
+        patch = px[-(h // 8):, -(w // 8):].astype(np.int16)
+        px[-(h // 8):, -(w // 8):] = np.clip(patch + 9, 0, 255).astype(
+            np.uint8
+        )
+        rows.append(
+            {"query_id": did + REVSEARCH_QUERY_OFFSET,
+             "qhash": codec.phash64(px)}
+        )
+    return rows
+
+
+def revsearch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        (F.col("doc_id") < PHASH_N_DOCS)
+        & (F.col("doc_id") % REVSEARCH_MOD == REVSEARCH_RES)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = _revsearch_query_rows(pdf["doc_id"])
+            yield pd.DataFrame(rows, columns=["query_id", "qhash"])
+
+    return docs.mapInPandas(synth, schema="query_id long, qhash long")
+
+
+def phash_reverse_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    topk: int = REVSEARCH_TOPK,
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> DataFrame:
+    """(query_id, rank, img_id, hamming) top-k per query via banded
+    candidate join + exact Hamming rerank. Corpus band rows in
+    degenerate buckets are dropped (same cap + same reused Exchange as
+    phash_neardup_pairs); query band rows are Q×4 and never capped."""
+    from pyspark.sql import Window
+
+    cb = _phash_band_rows(corpus)
+    w = Window.partitionBy("band_id", "band_val")
+    cb = (
+        cb.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("bucket_n") <= F.lit(max_bucket))
+        .drop("bucket_n")
+    )
+    qb = queries.select(
+        "query_id",
+        "qhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("qhash"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"b{b}")
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    cand = (
+        qb.join(cb, ["band_id", "band_val"])
+        .select("query_id", "qhash", "img_id", "phash")
+        .distinct()
+    )
+    ranked = cand.select(
+        "query_id",
+        "img_id",
+        F.bit_count(F.col("qhash").bitwiseXOR(F.col("phash"))).alias(
+            "hamming"
+        ),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("hamming", "img_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= topk).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "img_id",
+        "hamming",
+    )
+
+
+def q_phash_reverse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse image search: top-REVSEARCH_TOPK corpus images per query
+    by phash Hamming distance, candidates from 4 × 16-bit band
+    equi-joins (multi-index hashing), exact bit_count rerank.
+
+    Scale shape: a query fans out to exactly 4 (band_id, band_val)
+    probe rows; the join shuffles int keys only — pixels and payloads
+    never move; the rerank and top-k window run on candidate rows
+    (bounded by band collisions + the bucket cap), not on Q×N."""
+    return phash_reverse_topk(
+        revsearch_queries(spark, sf_dir), phash_corpus(spark, sf_dir)
+    )
+
+
+def phash_reverse_golden(
+    topk: int = REVSEARCH_TOPK, max_bucket: int = PHASH_MAX_BUCKET
+) -> list[tuple[int, int, int, int]]:
+    """Pure-Python replay of the banded candidate rule + cap + rerank
+    over the full corpus/query sets — the golden (query_id, rank,
+    img_id, hamming) rows the DuckDB oracle pins."""
+    import collections
+
+    corpus = _phash_rows(range(PHASH_N_DOCS))
+    queries = _revsearch_query_rows(
+        d for d in range(PHASH_N_DOCS) if d % REVSEARCH_MOD == REVSEARCH_RES
+    )
+    bucket_n: collections.Counter = collections.Counter()
+    for r in corpus:
+        h = r["phash"] & 0xFFFFFFFFFFFFFFFF
+        for k in range(_PHASH_BANDS):
+            bucket_n[(k, (h >> (16 * k)) & 0xFFFF)] += 1
+    out = []
+    for q in queries:
+        qh = q["qhash"] & 0xFFFFFFFFFFFFFFFF
+        cands = []
+        for r in corpus:
+            ch = r["phash"] & 0xFFFFFFFFFFFFFFFF
+            shares = any(
+                (qh >> (16 * k)) & 0xFFFF == (ch >> (16 * k)) & 0xFFFF
+                and bucket_n[(k, (ch >> (16 * k)) & 0xFFFF)] <= max_bucket
+                for k in range(_PHASH_BANDS)
+            )
+            if shares:
+                cands.append((bin(qh ^ ch).count("1"), r["img_id"]))
+        for rank, (ham, img) in enumerate(sorted(cands)[:topk], start=1):
+            out.append((q["query_id"], rank, img, ham))
+    return sorted(out)

@@ -2815,3 +2815,160 @@ SELECT g.url_hash, g.salary_man, g.caption_len, g.verified, g.image_ok,
                      // {TRAIN_PACK_BUDGET}, -1) AS BIGINT) AS pack_last
 FROM gated g LEFT JOIN placed p USING (url_hash)
 """
+
+# --- exact-substring span coverage --------------------------------------------
+# Mirrors functions/cleaning.py::q_exact_substr_coverage: positional
+# word EXSUB_K-gram poly-hashes, occurrence count ≥ 2 ⇒ duplicated
+# span, per-doc union of [pos, pos+K) via a running-max-of-ends
+# window, verdict by integer rational compare. All BIGINT/BOOLEAN.
+
+
+def _exact_substr_coverage_sql() -> str:
+    from go_crawler_spark.functions.cleaning import (
+        EXSUB_DEN,
+        EXSUB_K,
+        EXSUB_NUM,
+    )
+
+    gram = _poly_hash_sql(
+        f"array_to_string(ts[pos:pos+{EXSUB_K - 1}], ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts FROM toks),
+spans AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, {gram} AS h
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - {EXSUB_K - 1})) AS pos
+        FROM base WHERE len(ts) >= {EXSUB_K})),
+dup AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+hits AS (
+  SELECT s.doc_id, s.pos FROM spans s JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id,
+         pos + {EXSUB_K}
+           - GREATEST(pos, COALESCE(
+               max(pos + {EXSUB_K}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               pos)) AS c
+  FROM hits),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+       (b.n_tokens > 0
+        AND COALESCE(a.covered, 0) * {EXSUB_DEN} >= b.n_tokens * {EXSUB_NUM})
+         AS exsub_drop
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+EXACT_SUBSTR_COVERAGE = _exact_substr_coverage_sql()
+
+# --- reverse image search (multi-index hamming top-k) -------------------------
+# Mirrors multimodal.q_phash_reverse_search via the same golden-rows
+# pattern as PHASH_NEARDUP: phash_reverse_golden() is the pure-Python
+# brute-force replay of the band-candidate rule + hot-bucket cap +
+# exact Hamming rerank; the documents joins keep the oracle honest
+# about which doc_ids actually exist in the table under test.
+
+
+def _phash_reverse_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import phash_reverse_golden
+
+    return ",\n    ".join(
+        f"({q}, {r}, {i}, {h})" for q, r, i, h in phash_reverse_golden()
+    )
+
+
+def _phash_reverse_search_sql() -> str:
+    from go_crawler_spark.functions.multimodal import (
+        PHASH_VARIANT_OFFSET,
+        REVSEARCH_QUERY_OFFSET,
+    )
+
+    return f"""
+WITH golden(query_id, rank, img_id, hamming) AS (
+  VALUES
+    {_phash_reverse_golden_values()})
+SELECT CAST(g.query_id AS BIGINT) AS query_id,
+       CAST(g.rank AS BIGINT)     AS rank,
+       CAST(g.img_id AS BIGINT)   AS img_id,
+       CAST(g.hamming AS INT)     AS hamming
+FROM golden g
+JOIN documents q ON q.doc_id = g.query_id % {REVSEARCH_QUERY_OFFSET}
+JOIN documents c ON c.doc_id = g.img_id % {PHASH_VARIANT_OFFSET}
+"""
+
+
+PHASH_REVERSE_SEARCH = _phash_reverse_search_sql()
+
+# --- HITS hubs & authorities ---------------------------------------------------
+# Mirrors linkgraph.q_hits_scores: same LCG edge synthesis as
+# LINK_PAGERANK, then HITS_ITERS unrolled mutual-reinforcement levels,
+# each ℓ¹-rescaled to HITS_SCALE by exact HUGEINT floor-division
+# (DECIMAL(38,0) on the Spark side) — bit-identical BIGINTs.
+
+
+def _hits_levels_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import HITS_ITERS, HITS_SCALE
+
+    parts = []
+    prev_hub = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT e.dst AS doc_id, CAST(SUM(h.hub) AS BIGINT) AS v
+  FROM {prev_hub} h JOIN edges e ON e.src = h.doc_id GROUP BY e.dst),
+at{i} AS (SELECT CAST(SUM(v) AS BIGINT) AS tot FROM ar{i}),
+a{i} AS (
+  SELECT d.doc_id,
+         CAST(CAST(COALESCE(ar.v, 0) AS HUGEINT) * {HITS_SCALE}
+              // at{i}.tot AS BIGINT) AS auth
+  FROM documents d LEFT JOIN ar{i} ar ON ar.doc_id = d.doc_id, at{i}),
+hr{i} AS (
+  SELECT e.src AS doc_id, CAST(SUM(a.auth) AS BIGINT) AS v
+  FROM a{i} a JOIN edges e ON e.dst = a.doc_id GROUP BY e.src),
+ht{i} AS (SELECT CAST(SUM(v) AS BIGINT) AS tot FROM hr{i}),
+h{i} AS (
+  SELECT d.doc_id,
+         CAST(CAST(COALESCE(hr.v, 0) AS HUGEINT) * {HITS_SCALE}
+              // ht{i}.tot AS BIGINT) AS hub
+  FROM documents d LEFT JOIN hr{i} hr ON hr.doc_id = d.doc_id, ht{i})"""
+        )
+        prev_hub = f"h{i}"
+    return ",\n".join(parts)
+
+
+def _hits_scores_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        PR_FANOUT,
+        PR_LCG_A,
+        PR_LCG_C,
+        PR_LCG_K,
+    )
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C}) % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM cand),
+h0 AS (SELECT doc_id, CAST({HITS_SCALE} AS BIGINT) AS hub FROM documents),
+{_hits_levels_sql()}
+SELECT a{HITS_ITERS}.doc_id, a{HITS_ITERS}.auth, h{HITS_ITERS}.hub
+FROM a{HITS_ITERS} JOIN h{HITS_ITERS} USING (doc_id)
+"""
+
+
+HITS_SCORES = _hits_scores_sql()

@@ -63,12 +63,14 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST 50 dict entries.  Entries are therefore ordered by evidence
 # need, not by theme (VERDICT r4 "Next round" #1): positions 1-38 are
 # exactly the entries CORRECTNESS_r04 did NOT cover (their driver
-# evidence is r1-r3), position 39 is this round's new composed
-# crawl→train entry, and positions 40-50 are the r04-green entries
-# whose code was touched this round (waterfill remainder, crawl-trap
-# overflow fix, linkgraph floordiv + pagerank_ranks refactor) plus the
-# weakest single-round-evidence survivors nearest those code paths.
-# The other 39 r04-green entries rotate to the tail.  Pure dict
+# evidence is r1-r3), positions 39-42 are this round's four new
+# entries (zero driver history: crawl→train, exact-substring
+# coverage, reverse image search, HITS), and positions 43-50 are the
+# r04-green entries whose code was touched this round (waterfill
+# remainder, crawl-trap overflow fix, linkgraph floordiv +
+# pagerank_ranks refactor) plus the weakest single-round-evidence
+# survivors nearest those code paths.  The other r04-green entries
+# rotate to the tail with one-round-old evidence.  Pure dict
 # ordering; no behavior change from the order itself.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
@@ -181,7 +183,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # shaped frame (the engine-integration test feeds CrawlResult.pages
     # through the same crawl_to_train function)
     "crawl_to_train": (trainpipe.q_crawl_to_train, oracles.CRAWL_TO_TRAIN),
-    # ---- 40-50: r04-green entries touched or adjacent this round ----
+    # ---- 40-42: also new this round (zero driver history — they take
+    # window slots from three r04-green entries that rotate to the tail
+    # with one-round-old evidence) ----
+    # exact-substring span coverage (Lee et al. 2022): union of
+    # duplicated 8-gram spans per doc — the contiguous-coverage
+    # complement to dup_ngram_fraction's distinct-shingle ratio
+    "exact_substr_coverage": (
+        cleaning.q_exact_substr_coverage,
+        oracles.EXACT_SUBSTR_COVERAGE,
+    ),
+    # reverse image search: multi-index hamming top-k over phash bands
+    "phash_reverse_search": (
+        multimodal.q_phash_reverse_search,
+        oracles.PHASH_REVERSE_SEARCH,
+    ),
+    # HITS hubs/authorities over the discovered link graph
+    "hits_scores": (linkgraph.q_hits_scores, oracles.HITS_SCORES),
+    # ---- 43-50: r04-green entries touched or adjacent this round ----
     # max-min fair fetch-slot allocation — r5: sub-level remainder now
     # distributed exactly (Σ alloc == cap when demand ≥ cap)
     "host_budget_waterfill": (

@@ -1,0 +1,190 @@
+"""Property tests for the round-5 additions: exact-substring span
+coverage, reverse image search (multi-index hamming top-k), and HITS
+hubs/authorities. The value-hash gate lives in the oracle suite; these
+pin the invariants a hash can't express — brute-force equality against
+an independent pure-Python replay, and the multi-index pigeonhole
+recall guarantee.
+"""
+
+from pyspark.sql import functions as F
+
+from go_crawler_spark.functions.cleaning import (
+    EXSUB_DEN,
+    EXSUB_K,
+    EXSUB_NUM,
+    q_exact_substr_coverage,
+)
+from go_crawler_spark.functions.linkgraph import (
+    HITS_ITERS,
+    HITS_SCALE,
+    PR_FANOUT,
+    PR_LCG_A,
+    PR_LCG_C,
+    PR_LCG_K,
+    q_hits_scores,
+)
+from go_crawler_spark.functions.multimodal import (
+    PHASH_MAX_HAMMING,
+    PHASH_N_DOCS,
+    REVSEARCH_TOPK,
+    _phash_rows,
+    _revsearch_query_rows,
+    q_phash_reverse_search,
+)
+from go_crawler_spark.functions.similarity import P31
+from go_crawler_spark.tables import load
+
+
+def _poly(s: str) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * 31 + ord(c)) % P31
+    return acc
+
+
+def test_exact_substr_coverage_matches_bruteforce(spark, sf_small):
+    """Span-union coverage equals an independent pure-Python replay:
+    global k-gram occurrence counts, duplicated spans, merged-interval
+    token coverage, and the integer-rational drop verdict."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    spans: dict[int, list[tuple[int, int]]] = {}
+    occ: dict[int, int] = {}
+    n_tok: dict[int, int] = {}
+    for did, text in docs.items():
+        toks = [t for t in text.strip().split() if t]
+        n_tok[did] = len(toks)
+        ps = []
+        for i in range(len(toks) - EXSUB_K + 1):
+            h = _poly(" ".join(toks[i : i + EXSUB_K]))
+            ps.append((i + 1, h))
+            occ[h] = occ.get(h, 0) + 1
+        spans[did] = ps
+    expect = {}
+    for did in docs:
+        cov, prev_end = 0, 0
+        for pos, h in spans[did]:  # positions already ascending
+            if occ[h] >= 2:
+                cov += max(0, pos + EXSUB_K - max(pos, prev_end))
+                prev_end = max(prev_end, pos + EXSUB_K)
+        drop = n_tok[did] > 0 and cov * EXSUB_DEN >= n_tok[did] * EXSUB_NUM
+        expect[did] = (n_tok[did], cov, drop)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["exsub_drop"])
+        for r in q_exact_substr_coverage(spark, sf_small).collect()
+    }
+    assert got == expect
+    # the corpus must actually exercise both verdicts and partial cover
+    assert any(v[2] for v in got.values()) or all(
+        v[1] == 0 for v in got.values()
+    )
+    assert all(0 <= v[1] <= v[0] for v in got.values())
+
+
+def test_exact_substr_coverage_vs_distinct_ratio(spark, sf_small):
+    """Coverage is the span-UNION, so it is bounded by K times the
+    duplicated-shingle count but can be far smaller when dup shingles
+    overlap one run — the quantity dup_ngram_fraction can't see."""
+    rows = q_exact_substr_coverage(spark, sf_small).collect()
+    nonzero = [r for r in rows if r["covered_tokens"] > 0]
+    if nonzero:  # overlap compression must actually occur somewhere
+        assert any(r["covered_tokens"] % EXSUB_K != 0 for r in nonzero) or any(
+            r["covered_tokens"] < EXSUB_K * 2 for r in nonzero
+        )
+
+
+def test_phash_reverse_search_recall_and_ranks(spark, sf_small):
+    """Multi-index pigeonhole: any corpus image within Hamming radius 3
+    of a query shares ≥1 of the 4 16-bit bands, so the banded result
+    must contain every such image unless outranked by topk closer ones.
+    Ranks are consecutive from 1; hamming is non-decreasing in rank."""
+    got = {}
+    for r in q_phash_reverse_search(spark, sf_small).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["img_id"], r["hamming"])
+        )
+    assert got, "queries must exist at this SF"
+    corpus = _phash_rows(range(PHASH_N_DOCS))
+    queries = _revsearch_query_rows(
+        sorted({q % 200_000 for q in got})
+    )
+    for q in queries:
+        qh = q["qhash"] & 0xFFFFFFFFFFFFFFFF
+        res = sorted(got[q["query_id"]])
+        ranks = [t[0] for t in res]
+        assert ranks == list(range(1, len(res) + 1))
+        assert len(res) <= REVSEARCH_TOPK
+        hams = [t[2] for t in res]
+        assert hams == sorted(hams)
+        # brute-force every corpus image within radius 3 (≪ topk here)
+        close = sorted(
+            (bin(qh ^ (r["phash"] & 0xFFFFFFFFFFFFFFFF)).count("1"), r["img_id"])
+            for r in corpus
+            if bin(qh ^ (r["phash"] & 0xFFFFFFFFFFFFFFFF)).count("1") <= 3
+        )
+        found = {(t[2], t[1]) for t in res}
+        for ham, img in close[:REVSEARCH_TOPK]:
+            assert (ham, img) in found
+    # the planted geometry puts every query's base within the neardup
+    # radius, so recall of the self-match is total
+    assert all(
+        any(t[1] % 100_000 == q % 200_000 and t[2] <= PHASH_MAX_HAMMING
+            for t in res)
+        for q, res in got.items()
+    )
+
+
+def test_hits_scores_matches_bruteforce(spark, sf_small):
+    """Integer HITS equals an independent pure-Python replay of the
+    LCG edge synthesis and the ℓ¹-rescaled mutual-reinforcement
+    rounds; each rescaled vector sums to ≤ HITS_SCALE (floor loss)
+    and within n_nodes of it."""
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+    )
+    n = len(doc_ids)
+    edges = set()
+    for src in doc_ids:
+        for k in range(PR_FANOUT):
+            dst = (src * PR_LCG_A + k * PR_LCG_K + PR_LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            edges.add((src, dst))
+    hub = {d: HITS_SCALE for d in doc_ids}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        raw = {d: 0 for d in doc_ids}
+        for s, d in edges:
+            raw[d] += hub[s]
+        tot = sum(raw.values())
+        auth = {d: raw[d] * HITS_SCALE // tot for d in doc_ids}
+        raw = {d: 0 for d in doc_ids}
+        for s, d in edges:
+            raw[s] += auth[d]
+        tot = sum(raw.values())
+        hub = {d: raw[d] * HITS_SCALE // tot for d in doc_ids}
+    got = {
+        r["doc_id"]: (r["auth"], r["hub"])
+        for r in q_hits_scores(spark, sf_small).collect()
+    }
+    assert got == {d: (auth[d], hub[d]) for d in doc_ids}
+    for vec in (auth, hub):
+        s = sum(vec.values())
+        assert HITS_SCALE - n <= s <= HITS_SCALE
+    # mutual reinforcement is non-degenerate: scores differentiate
+    assert len(set(auth.values())) > 1 and len(set(hub.values())) > 1
+
+
+def test_hits_deterministic_under_repartition(spark, sf_small):
+    """Bit-identical longs regardless of partitioning (the wide
+    floor-division discipline — no float ever carries a value)."""
+    base = q_hits_scores(spark, sf_small)
+    re = base.repartition(13).select("doc_id", "auth", "hub")
+    a = {r["doc_id"]: (r["auth"], r["hub"]) for r in base.collect()}
+    b = {r["doc_id"]: (r["auth"], r["hub"]) for r in re.collect()}
+    assert a == b

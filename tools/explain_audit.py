@@ -220,6 +220,30 @@ AUDITED = {
         ["HashAggregate", "Exchange"],
         ["CartesianProduct"],
     ),
+    # HITS: same shape as PageRank — per-round src/dst-keyed equi-joins
+    # and aggregates over (long, long) rows; the ℓ¹ totals are 1-row
+    # broadcast pass-throughs. Nothing may plan an all-pairs product.
+    "hits_scores": (
+        ["HashAggregate", "Exchange"],
+        ["CartesianProduct"],
+    ),
+    # exact-substring coverage: positional span hashes are built inside
+    # one array expression (Generate = the explode of (pos, h) structs
+    # — token text never leaves the scan partition); the occurrence
+    # groupBy and the join-back probe both key on the 8-byte hash; the
+    # interval union is a per-doc Window. No nested loop anywhere.
+    "exact_substr_coverage": (
+        ["Generate", "HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # reverse image search: corpus band rows get the same hot-bucket
+    # Window cap as phash_neardup; the query probe is a hash equi-join
+    # on (band_id, band_val); the rerank is codegen'd bit_count; the
+    # per-query top-k is a Window, never a global sort
+    "phash_reverse_search": (
+        ["Window", "BroadcastHashJoin", "bit_count"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
     # cascading rollup: three partial+final hash aggregates, each
     # coarser grain fed by the finer one — no join of any kind
     "multires_rollup": (
