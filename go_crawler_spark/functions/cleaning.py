@@ -478,42 +478,128 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # there). This is the quantity the suffix-array ExactSubstr pass
 # removes; the gate drops docs with ≥ NUM/DEN of positions covered.
 #
-# Scale shape: positional (pos, hash) pairs are built map-side inside
-# one array expression — the token text never leaves its scan
-# partition; both shuffles (the occurrence-count groupBy and the
+# Scale shape: positional (pos, hash) pairs are built map-side by an
+# Arrow-batched rolling-hash kernel — the token text never leaves its
+# scan partition; both shuffles (the occurrence-count groupBy and the
 # join-back probe) key on the 8-byte poly-hash; the interval union is
 # a per-doc window over long pairs (running max of span ends), so a
 # doc's state is its dup positions, never its text. At 100 TB the
 # only wide data is (doc_id, pos, h) longs.
+#
+# Kernel cost: a naive per-position fold re-hashes each span's ~K·w
+# chars (O(len·K) per doc — this module's first cut, and still the
+# oracle's derivation). The kernel instead computes ONE prefix hash
+# over the space-joined token string and reads every span hash off it
+# in O(1): pre[j] = fold(J[:j]); h(l,r) = (pre[r] − pre[l]·31^(r−l))
+# mod P31 — identical values, O(len) per doc, fully vectorized
+# (the prefix itself vectorizes as a cumsum of code[i]·31^(−i) mod P,
+# scaled back by 31^(j−1); all intermediates bounded < 2^63).
 # --------------------------------------------------------------------------
 
 EXSUB_K = 8  # span length in word tokens (same grain as DUPNGRAM_N)
 EXSUB_NUM = 1  # exsub_drop ⇔ covered·DEN ≥ n_tokens·NUM (20%)
 EXSUB_DEN = 5
 
+# modular power tables for 31 (and its inverse) mod P31, split base-2^16:
+# 31^j = _PW_LO[j & 0xFFFF] · _PW_HI[j >> 16] (mod P31) — built lazily so
+# module import stays free; covers strings up to 2^24 chars
+_PW_TABLES: dict[str, object] = {}
 
-def _positional_span_hashes():
-    """array<struct<pos,h>> of poly-hashes of the word EXSUB_K-gram at
-    each 1-based position — shingle_hashes' fold (mod P31), kept
-    positional and non-distinct so spans can be unioned downstream."""
+
+def _pow_tables():
+    if not _PW_TABLES:
+        import numpy as np
+
+        from go_crawler_spark.functions.similarity import P31
+
+        lo = np.empty(1 << 16, dtype=np.int64)
+        lo[0] = 1
+        for j in range(1, 1 << 16):
+            lo[j] = lo[j - 1] * 31 % P31
+        step = int(lo[-1]) * 31 % P31  # 31^65536
+        hi = np.empty(1 << 8, dtype=np.int64)
+        hi[0] = 1
+        for j in range(1, 1 << 8):
+            hi[j] = hi[j - 1] * step % P31
+        inv = pow(31, P31 - 2, P31)  # P31 prime ⇒ Fermat inverse
+        ilo = np.empty(1 << 16, dtype=np.int64)
+        ilo[0] = 1
+        for j in range(1, 1 << 16):
+            ilo[j] = ilo[j - 1] * inv % P31
+        istep = int(ilo[-1]) * inv % P31
+        ihi = np.empty(1 << 8, dtype=np.int64)
+        ihi[0] = 1
+        for j in range(1, 1 << 8):
+            ihi[j] = ihi[j - 1] * istep % P31
+        _PW_TABLES.update(lo=lo, hi=hi, ilo=ilo, ihi=ihi)
+    return _PW_TABLES
+
+
+def exsub_span_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) for every 1-based word EXSUB_K-gram position of
+    (doc_id, text) rows: h is the poly-hash fold (acc·31 + ord(c) mod
+    P31 — similarity.poly_hash's fold, the oracle replays it per span)
+    over the chars of ' '.join(tokens[i:i+K]), read off one rolling
+    prefix hash per doc. Narrow map, Arrow batches, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
     from go_crawler_spark.functions.similarity import P31
 
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    k = F.size(toks) - (EXSUB_K - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                F.aggregate(
-                    F.split(F.array_join(F.slice(toks, i, EXSUB_K), " "), ""),
-                    F.lit(0).cast("long"),
-                    lambda acc, c: (acc * 31 + F.ascii(c)) % P31,
-                ).alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:long,h:long>>"))
+    def kern(batches):
+        t = _pow_tables()
+        lo, hi, ilo, ihi = t["lo"], t["hi"], t["ilo"], t["ihi"]
+
+        def pw(j):  # vectorized 31^j mod P31 (j: int64 array)
+            return lo[j & 0xFFFF] * hi[j >> 16] % P31
+
+        for pdf in batches:
+            dids, poss, hs = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.strip().split()
+                k = len(toks) - (EXSUB_K - 1)
+                if k <= 0:
+                    continue
+                joined = " ".join(toks)
+                if joined.isascii():
+                    codes = np.frombuffer(
+                        joined.encode(), dtype=np.uint8
+                    ).astype(np.int64)
+                else:
+                    codes = np.fromiter(
+                        map(ord, joined), dtype=np.int64, count=len(joined)
+                    )
+                n = codes.shape[0]
+                idx = np.arange(n, dtype=np.int64)
+                # pre[j] = fold(J[:j]) = 31^(j−1) · Σ_{i<j} code_i·31^(−i):
+                # summands < P31 ⇒ the cumsum stays < n·P31 < 2^63
+                a = codes % P31 * (ilo[idx & 0xFFFF] * ihi[idx >> 16] % P31)
+                a %= P31
+                pre = np.zeros(n + 1, dtype=np.int64)
+                pre[1:] = np.cumsum(a) % P31 * pw(idx) % P31
+                lens = np.fromiter(
+                    map(len, toks), dtype=np.int64, count=len(toks)
+                )
+                off = np.zeros(len(toks), dtype=np.int64)
+                np.cumsum(lens[:-1] + 1, out=off[1:])
+                l = off[:k]
+                r = off[EXSUB_K - 1:] + lens[EXSUB_K - 1:]
+                h = (pre[r] - pre[l] * pw(r - l)) % P31
+                dids.append(np.full(k, did, dtype=np.int64))
+                poss.append(np.arange(1, k + 1, dtype=np.int64))
+                hs.append(h)
+            if dids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(dids),
+                        "pos": np.concatenate(poss),
+                        "h": np.concatenate(hs),
+                    }
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kern, schema="doc_id long, pos long, h long"
+    )
 
 
 def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -527,11 +613,8 @@ def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        _positional_span_hashes().alias("sps"),
     )
-    expl = base.select("doc_id", F.explode("sps").alias("s")).select(
-        "doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h")
-    )
+    expl = exsub_span_rows(docs)
     # any second occurrence anywhere (cross-doc or self-repeat) ⇒ dup
     dup = (
         expl.groupBy("h")

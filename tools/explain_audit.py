@@ -227,13 +227,13 @@ AUDITED = {
         ["HashAggregate", "Exchange"],
         ["CartesianProduct"],
     ),
-    # exact-substring coverage: positional span hashes are built inside
-    # one array expression (Generate = the explode of (pos, h) structs
-    # — token text never leaves the scan partition); the occurrence
-    # groupBy and the join-back probe both key on the 8-byte hash; the
-    # interval union is a per-doc Window. No nested loop anywhere.
+    # exact-substring coverage: positional span hashes come from the
+    # Arrow-batched rolling-hash kernel (MapInPandas — token text never
+    # leaves the scan partition); the occurrence groupBy and the
+    # join-back probe both key on the 8-byte hash; the interval union
+    # is a per-doc Window. No nested loop anywhere.
     "exact_substr_coverage": (
-        ["Generate", "HashAggregate", "Window"],
+        ["MapInPandas", "HashAggregate", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
     # reverse image search: corpus band rows get the same hot-bucket
