@@ -188,6 +188,8 @@ def main() -> None:
         "exact_substr_coverage",  # duplicated-span union coverage
         "phash_reverse_search",  # multi-index hamming top-k retrieval
         "hits_scores",  # hubs/authorities link analysis
+        "opic_importance",  # crawl-native online importance
+        "aspect_bucket_pack",  # image-training batch assembly
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -372,3 +372,113 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     in any aggregation order at any corpus size."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
     return hits_scores(docs, link_edges(docs))
+
+
+# --- OPIC (On-line Page Importance Computation) -------------------------------
+# The third authority signal, and the one actually designed for a
+# crawl frontier (Abiteboul, Preda & Cobéna, WWW 2003): every page
+# holds CASH; each round a visited page banks its cash into HISTORY
+# and distributes it equally along its out-links; importance is
+# history + cash. Unlike PageRank it needs no convergence before the
+# signal is usable — a crawler reads the running estimate mid-crawl,
+# which is exactly the frontier's situation (the engine's
+# order='pagerank' dequeue could consume this column unchanged).
+#
+# This is the synchronous batch adaptation (every page "visited" once
+# per round). Dangling pages (no out-links — the frontier's unfetched
+# majority) bank their cash into a global pot that is redistributed
+# uniformly next round: the pot is a one-row broadcast aggregate, the
+# paper's virtual-root trick without a driver collect. To make the
+# dangling path real (the LCG graph gives every node out-links), OPIC
+# drops the out-edges of src ≡ 0 (mod OPIC_DANGLE_MOD) nodes.
+#
+# Determinism: cash splits and the pot share go through exact wide
+# floor-division (DECIMAL(38,0) / HUGEINT //); every value is a long
+# both engines reproduce bit-identically in any aggregation order.
+# Floor remainders leak mass (bounded by outdeg per node per round,
+# < N·(FANOUT+1) per round globally) — leaked, never double-counted,
+# and both engines leak identically.
+
+OPIC_ITERS = 3
+OPIC_SCALE = 1_000_000_000  # initial cash per page
+OPIC_DANGLE_MOD = 13  # src ≡ 0 (mod 13) pages keep no out-links
+
+
+def opic_scores(
+    nodes: DataFrame, edges: DataFrame, iters: int = OPIC_ITERS
+) -> DataFrame:
+    """(doc_id, cash, hist, importance) after ``iters`` synchronous
+    OPIC rounds. nodes: (doc_id); edges: (src, dst).
+
+    Per round: hist' = hist + cash; inflow(v) = Σ_{u→v}
+    floor(cash(u)/outdeg(u)); pot = Σ cash over dangling nodes;
+    cash'(v) = inflow(v) + floor(pot/N). Two shuffles per round
+    (attach cash by src, aggregate by dst) plus two one-row broadcast
+    aggregates — the PageRank iteration shape, with state one
+    (cash, hist) pair per node, never driver-side."""
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    state = nodes.join(
+        outdeg.withColumnRenamed("src", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "outdeg",
+        F.lit(OPIC_SCALE).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        pot = state.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("pot")
+        )
+        inflow = (
+            edges.join(
+                state.select(
+                    F.col("doc_id").alias("src"),
+                    "cash",
+                    F.col("outdeg").alias("od"),
+                ),
+                "src",
+            )
+            .select("dst", _wide_floordiv(F.col("cash"), F.col("od")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        state = (
+            state.join(inflow.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .crossJoin(F.broadcast(pot))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "doc_id",
+                "outdeg",
+                (
+                    F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                    + _wide_floordiv(F.col("pot"), F.col("n_nodes"))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+    return state.select(
+        "doc_id",
+        "cash",
+        "hist",
+        (F.col("cash") + F.col("hist")).alias("importance"),
+    )
+
+
+def q_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC over the synthesized doc link graph with planted dangling
+    pages: (doc_id, cash, hist, importance) after OPIC_ITERS
+    synchronous cash-distribution rounds — the crawl-native running
+    importance estimate (usable mid-crawl, unlike converged PageRank).
+
+    Scale shape: PageRank's — per round the wide data is (long, long)
+    edge/cash rows shuffled by src then dst; the dangling pot and the
+    node count are one-row broadcast aggregates. Exact integer math
+    end to end."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = link_edges(docs).filter(
+        F.col("src") % OPIC_DANGLE_MOD != 0
+    )
+    return opic_scores(docs, edges)

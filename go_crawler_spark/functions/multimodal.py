@@ -1321,3 +1321,157 @@ def phash_reverse_golden(
         for rank, (ham, img) in enumerate(sorted(cands)[:topk], start=1):
             out.append((q["query_id"], rank, img, ham))
     return sorted(out)
+
+
+# --- aspect-ratio bucketing + batch packing -----------------------------------
+# Image-training batch assembly (the aspect-bucket scheme popularized
+# by NovelAI's SD training writeup and SDXL: group images into
+# near-equal-area resolution buckets so a batch shares one shape, no
+# mutilating square crop). Two stages, both exact-integer:
+#
+#   1. bucket argmin — each image picks the ladder bucket minimizing
+#      |w/h − bw/bh|. Comparing the fractions exactly: the diff for
+#      bucket b scales to a common denominator as
+#      |w·bh − bw·h| · (ASPECT_LCM / bh), an int64 (< 2^41), so the
+#      argmin is a map-side fold over a 9-literal array — ZERO
+#      shuffle, no float ever, ties to the lower bucket_id.
+#   2. batch numbering — within each bucket, images order by doc_id
+#      and pack into ASPECT_BATCH-sized batches; the trailing partial
+#      batch is flagged keep=false (a training loader drops or pads
+#      it). Rank-within-bucket uses the same chunked two-phase prefix
+#      sum as textstats.q_seq_pack: per-(bucket, chunk) counts, one
+#      tiny single-task window over the chunk table, then windows
+#      WITHIN chunks — bounded partitions at any corpus size (a naive
+#      Window.partitionBy(bucket) would drag N/9 rows into one task).
+#
+# (w, h) are synthesized from doc_id by engine-agnostic integer math —
+# the bucketing/packing arithmetic is the operator under test; real
+# decode paths live in q_image_meta_extract / q_image_filter_gate.
+
+# 64-aligned, ~0.5 MP ladder from 2:1 to 1:2
+ASPECT_LADDER = [
+    (1024, 512), (960, 576), (896, 640), (832, 704), (768, 768),
+    (704, 832), (640, 896), (576, 960), (512, 1024),
+]
+# lcm of the ladder heights (64·lcm(8..16) = 64·720720)
+ASPECT_LCM = 46_126_080
+ASPECT_BATCH = 16  # images per training batch
+ASPECT_CHUNK = 100  # doc_id range per prefix-sum chunk
+
+
+def _aspect_wh():
+    """Deterministic synthetic (w, h) per doc_id: 256..1280, step 8 —
+    spans the ladder's AR range both ways. Pure integer expressions
+    mirrored verbatim in the oracle."""
+    w = (F.lit(256) + (F.col("doc_id") * 37 % 129) * 8).cast("long")
+    h = (F.lit(256) + (F.col("doc_id") * 53 % 129) * 8).cast("long")
+    return w, h
+
+
+def aspect_bucket(w, h):
+    """(bucket_id, bucket_w, bucket_h) struct: exact-integer argmin of
+    |w/h − bw/bh| over ASPECT_LADDER, ties to the lower bucket_id.
+    Map-side fold over literals — no shuffle, no floats."""
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("bid"),
+                F.lit(bw).cast("long").alias("bw"),
+                F.lit(bh).cast("long").alias("bh"),
+                # common-denominator multiplier, a compile-time literal
+                F.lit(ASPECT_LCM // bh).cast("long").alias("m"),
+            )
+            for i, (bw, bh) in enumerate(ASPECT_LADDER)
+        ]
+    )
+
+    def diff(e):
+        return F.abs(w * e["bh"] - e["bw"] * h) * e["m"]
+
+    init = F.struct(
+        F.lit(2**62).cast("long").alias("d"),
+        F.lit(-1).cast("long").alias("bid"),
+        F.lit(0).cast("long").alias("bw"),
+        F.lit(0).cast("long").alias("bh"),
+    )
+    # strict < keeps the first (lowest-bid) entry on ties — the ladder
+    # array is in bid order, matching the oracle's ORDER BY d, bid
+    return F.aggregate(
+        ladder,
+        init,
+        lambda acc, e: F.when(
+            diff(e) < acc["d"],
+            F.struct(
+                diff(e).alias("d"),
+                e["bid"].alias("bid"),
+                e["bw"].alias("bw"),
+                e["bh"].alias("bh"),
+            ),
+        ).otherwise(acc),
+    )
+
+
+def q_aspect_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per image: synthetic (w, h), its aspect bucket, and its batch
+    placement — (doc_id, w, h, bucket_id, bucket_w, bucket_h,
+    batch_idx, slot, keep); keep=false marks the trailing partial
+    batch of each bucket."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    w_c, h_c = _aspect_wh()
+    t = docs.select(
+        "doc_id",
+        w_c.alias("w"),
+        h_c.alias("h"),
+        aspect_bucket(w_c, h_c).alias("b"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        F.col("b.bid").alias("bucket_id"),
+        F.col("b.bw").alias("bucket_w"),
+        F.col("b.bh").alias("bucket_h"),
+        F.expr(f"doc_id div {ASPECT_CHUNK}").alias("chunk"),
+    )
+    cell = t.groupBy("bucket_id", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_chunk = (
+        Window.partitionBy("bucket_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cell.select(
+        "bucket_id",
+        "chunk",
+        F.coalesce(F.sum("cnt").over(w_chunk), F.lit(0))
+        .cast("long")
+        .alias("c_off"),
+    )
+    totals = t.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bucket")
+    )
+    w_in = Window.partitionBy("bucket_id", "chunk").orderBy("doc_id")
+    placed = (
+        t.join(F.broadcast(offsets), ["bucket_id", "chunk"])
+        .join(F.broadcast(totals), "bucket_id")
+        .withColumn(
+            "rn",
+            (F.col("c_off") + F.row_number().over(w_in)).cast("long"),
+        )
+    )
+    return placed.select(
+        "doc_id",
+        "w",
+        "h",
+        "bucket_id",
+        "bucket_w",
+        "bucket_h",
+        F.expr(f"(rn - 1) div {ASPECT_BATCH}").alias("batch_idx"),
+        ((F.col("rn") - 1) % ASPECT_BATCH).cast("long").alias("slot"),
+        (
+            F.col("rn")
+            <= F.expr(f"n_bucket div {ASPECT_BATCH}") * ASPECT_BATCH
+        ).alias("keep"),
+    )

@@ -2972,3 +2972,120 @@ FROM a{HITS_ITERS} JOIN h{HITS_ITERS} USING (doc_id)
 
 
 HITS_SCORES = _hits_scores_sql()
+
+# --- OPIC online page importance ----------------------------------------------
+# Mirrors linkgraph.q_opic_importance: LCG edges minus the planted
+# danglers' out-edges, then OPIC_ITERS unrolled synchronous rounds —
+# cash banks into history, splits by exact HUGEINT floor-division
+# along out-links, dangling cash pools and redistributes uniformly.
+
+
+def _opic_levels_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import OPIC_ITERS
+
+    parts = []
+    for i in range(1, OPIC_ITERS + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f"""pot{i} AS (
+  SELECT CAST(COALESCE(SUM(cash), 0) AS BIGINT) AS pot
+  FROM {p} WHERE od IS NULL),
+inf{i} AS (
+  SELECT e.dst AS doc_id,
+         CAST(SUM(CAST(s.cash AS HUGEINT) // s.od) AS BIGINT) AS v
+  FROM {p} s JOIN edges e ON e.src = s.doc_id GROUP BY e.dst),
+s{i} AS (
+  SELECT p.doc_id, p.od,
+         CAST(COALESCE(i.v, 0)
+              + CAST(pot{i}.pot AS HUGEINT) // nn.n AS BIGINT) AS cash,
+         CAST(p.hist + p.cash AS BIGINT) AS hist
+  FROM {p} p LEFT JOIN inf{i} i USING (doc_id), pot{i}, nn)"""
+        )
+    return ",\n".join(parts)
+
+
+def _opic_importance_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        OPIC_DANGLE_MOD,
+        OPIC_ITERS,
+        OPIC_SCALE,
+        PR_FANOUT,
+        PR_LCG_A,
+        PR_LCG_C,
+        PR_LCG_K,
+    )
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C}) % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM cand WHERE src % {OPIC_DANGLE_MOD} <> 0),
+outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+s0 AS (
+  SELECT d.doc_id, o.od, CAST({OPIC_SCALE} AS BIGINT) AS cash,
+         CAST(0 AS BIGINT) AS hist
+  FROM documents d LEFT JOIN outdeg o ON o.src = d.doc_id),
+{_opic_levels_sql()}
+SELECT doc_id, cash, hist, CAST(cash + hist AS BIGINT) AS importance
+FROM s{OPIC_ITERS}
+"""
+
+
+OPIC_IMPORTANCE = _opic_importance_sql()
+
+# --- aspect-ratio bucketing + batch packing -------------------------------------
+# Mirrors multimodal.q_aspect_bucket_pack: synthetic integer (w, h),
+# exact common-denominator fraction compare for the bucket argmin
+# (ties to the lower bucket id), doc_id-ordered ASPECT_BATCH packing
+# per bucket with the trailing partial batch flagged keep=false.
+
+
+def _aspect_bucket_pack_sql() -> str:
+    from go_crawler_spark.functions.multimodal import (
+        ASPECT_BATCH,
+        ASPECT_LADDER,
+        ASPECT_LCM,
+    )
+
+    ladder_rows = ",\n    ".join(
+        f"({i}, {bw}, {bh}, {ASPECT_LCM // bh})"
+        for i, (bw, bh) in enumerate(ASPECT_LADDER)
+    )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(256 + (doc_id * 37 % 129) * 8 AS BIGINT) AS w,
+         CAST(256 + (doc_id * 53 % 129) * 8 AS BIGINT) AS h
+  FROM documents),
+ladder(bid, bw, bh, m) AS (VALUES
+    {ladder_rows}),
+scored AS (
+  SELECT i.doc_id, i.w, i.h, l.bid, l.bw, l.bh,
+         row_number() OVER (
+           PARTITION BY i.doc_id
+           ORDER BY abs(i.w * l.bh - l.bw * i.h) * l.m, l.bid) AS rnk
+  FROM imgs i CROSS JOIN ladder l),
+assigned AS (
+  SELECT doc_id, w, h, bid, bw, bh FROM scored WHERE rnk = 1),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bid ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY bid) AS n_bucket
+  FROM assigned)
+SELECT doc_id, w, h,
+       CAST(bid AS BIGINT) AS bucket_id,
+       CAST(bw AS BIGINT) AS bucket_w,
+       CAST(bh AS BIGINT) AS bucket_h,
+       CAST((rn - 1) // {ASPECT_BATCH} AS BIGINT) AS batch_idx,
+       CAST((rn - 1) % {ASPECT_BATCH} AS BIGINT) AS slot,
+       rn <= (n_bucket // {ASPECT_BATCH}) * {ASPECT_BATCH} AS keep
+FROM ranked
+"""
+
+
+ASPECT_BUCKET_PACK = _aspect_bucket_pack_sql()

@@ -200,7 +200,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # HITS hubs/authorities over the discovered link graph
     "hits_scores": (linkgraph.q_hits_scores, oracles.HITS_SCORES),
-    # ---- 43-50: r04-green entries touched or adjacent this round ----
+    # OPIC online importance (crawl-native running estimate; planted
+    # dangling pages exercise the pot-redistribution path)
+    "opic_importance": (
+        linkgraph.q_opic_importance,
+        oracles.OPIC_IMPORTANCE,
+    ),
+    # aspect-ratio bucketing + fixed-size batch packing for image
+    # training (zero-shuffle exact-integer bucket argmin; chunked
+    # two-phase prefix-sum batch numbering)
+    "aspect_bucket_pack": (
+        multimodal.q_aspect_bucket_pack,
+        oracles.ASPECT_BUCKET_PACK,
+    ),
+    # ---- remaining window slots: r04-green entries touched or
+    # adjacent this round (the overflow past position 50 is r04
+    # driver-green with judge-local re-verification) ----
     # max-min fair fetch-slot allocation — r5: sub-level remainder now
     # distributed exactly (Σ alloc == cap when demand ≥ cap)
     "host_budget_waterfill": (

@@ -188,3 +188,125 @@ def test_hits_deterministic_under_repartition(spark, sf_small):
     a = {r["doc_id"]: (r["auth"], r["hub"]) for r in base.collect()}
     b = {r["doc_id"]: (r["auth"], r["hub"]) for r in re.collect()}
     assert a == b
+
+
+def test_opic_matches_bruteforce(spark, sf_small):
+    """Integer OPIC equals an independent pure-Python replay: LCG edges
+    minus the planted danglers' out-links, then OPIC_ITERS synchronous
+    cash-banking + distribution rounds with the uniform dangling-pot
+    redistribution. Also pins that the dangling path is real (the pot
+    is nonzero) and total cash never grows (floor leaks only)."""
+    from go_crawler_spark.functions.linkgraph import (
+        OPIC_DANGLE_MOD,
+        OPIC_ITERS,
+        OPIC_SCALE,
+        q_opic_importance,
+    )
+
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+    )
+    n = len(doc_ids)
+    edges = set()
+    for src in doc_ids:
+        if src % OPIC_DANGLE_MOD == 0:
+            continue
+        for k in range(PR_FANOUT):
+            dst = (src * PR_LCG_A + k * PR_LCG_K + PR_LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            edges.add((src, dst))
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    danglers = [d for d in doc_ids if d not in outdeg]
+    assert danglers  # the planted path must exist at this SF
+    cash = {d: OPIC_SCALE for d in doc_ids}
+    hist = {d: 0 for d in doc_ids}
+    total_prev = sum(cash.values())
+    for _ in range(OPIC_ITERS):
+        pot = sum(cash[d] for d in danglers)
+        assert pot > 0
+        inflow = {d: 0 for d in doc_ids}
+        for s, d in edges:
+            inflow[d] += cash[s] // outdeg[s]
+        hist = {d: hist[d] + cash[d] for d in doc_ids}
+        share = pot // n
+        cash = {d: inflow[d] + share for d in doc_ids}
+        total = sum(cash.values())
+        assert total <= total_prev  # mass leaks via floors, never grows
+        total_prev = total
+    got = {
+        r["doc_id"]: (r["cash"], r["hist"], r["importance"])
+        for r in q_opic_importance(spark, sf_small).collect()
+    }
+    assert got == {
+        d: (cash[d], hist[d], cash[d] + hist[d]) for d in doc_ids
+    }
+    # the running estimate differentiates pages (usable as a priority)
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_aspect_bucket_pack_matches_bruteforce(spark, sf_small):
+    """Bucket argmin and batch placement equal an exact-fraction
+    Python replay; every kept batch is full with distinct slots; the
+    dropped tail per bucket is exactly n_bucket mod ASPECT_BATCH."""
+    from fractions import Fraction
+
+    from go_crawler_spark.functions.multimodal import (
+        ASPECT_BATCH,
+        ASPECT_LADDER,
+        q_aspect_bucket_pack,
+    )
+
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+    )
+    assign: dict[int, tuple] = {}
+    buckets: dict[int, list[int]] = {}
+    for d in doc_ids:
+        w = 256 + (d * 37 % 129) * 8
+        h = 256 + (d * 53 % 129) * 8
+        best = min(
+            (
+                (abs(Fraction(w, h) - Fraction(bw, bh)), i, bw, bh)
+                for i, (bw, bh) in enumerate(ASPECT_LADDER)
+            )
+        )
+        assign[d] = (w, h, best[1], best[2], best[3])
+        buckets.setdefault(best[1], []).append(d)
+    expect = {}
+    for bid, ds in buckets.items():
+        n_full = len(ds) // ASPECT_BATCH * ASPECT_BATCH
+        for rn, d in enumerate(sorted(ds), start=1):
+            w, h, _, bw, bh = assign[d]
+            expect[d] = (
+                w, h, bid, bw, bh,
+                (rn - 1) // ASPECT_BATCH, (rn - 1) % ASPECT_BATCH,
+                rn <= n_full,
+            )
+    got = {
+        r["doc_id"]: (
+            r["w"], r["h"], r["bucket_id"], r["bucket_w"], r["bucket_h"],
+            r["batch_idx"], r["slot"], r["keep"],
+        )
+        for r in q_aspect_bucket_pack(spark, sf_small).collect()
+    }
+    assert got == expect
+    # structural invariants: full batches have all ASPECT_BATCH slots
+    full: dict[tuple, set] = {}
+    for d, v in got.items():
+        if v[7]:
+            full.setdefault((v[2], v[5]), set()).add(v[6])
+    assert full and all(
+        s == set(range(ASPECT_BATCH)) for s in full.values()
+    )
+    dropped: dict[int, int] = {}
+    for d, v in got.items():
+        if not v[7]:
+            dropped[v[2]] = dropped.get(v[2], 0) + 1
+    for bid, ds in buckets.items():
+        assert dropped.get(bid, 0) == len(ds) % ASPECT_BATCH
+    assert len(buckets) > 1  # the ladder is actually exercised

@@ -227,6 +227,22 @@ AUDITED = {
         ["HashAggregate", "Exchange"],
         ["CartesianProduct"],
     ),
+    # OPIC: PageRank's iteration shape (src-join + dst-agg per round);
+    # the dangling pot and node count ride 1-row broadcast aggregates
+    # (BroadcastNestedLoopJoin over exactly one row is that broadcast,
+    # not an all-pairs product — same as pagerank's n_nodes attach).
+    "opic_importance": (
+        ["HashAggregate", "Exchange"],
+        ["CartesianProduct"],
+    ),
+    # aspect bucketing: the bucket argmin must stay a map-side fold —
+    # no join for the 9-literal ladder; the only Exchanges key on
+    # (bucket, chunk) for the two-phase prefix sum; offsets/totals
+    # broadcast back.
+    "aspect_bucket_pack": (
+        ["Window", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # exact-substring coverage: positional span hashes come from the
     # Arrow-batched rolling-hash kernel (MapInPandas — token text never
     # leaves the scan partition); the occurrence groupBy and the
