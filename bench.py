@@ -190,6 +190,8 @@ def main() -> None:
         "hits_scores",  # hubs/authorities link analysis
         "opic_importance",  # crawl-native online importance
         "aspect_bucket_pack",  # image-training batch assembly
+        "dust_param_rules",  # canonicalize-before-fetch rule mining
+        "domain_split",  # leakage-safe train/val/test assignment
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

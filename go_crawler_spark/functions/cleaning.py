@@ -664,3 +664,48 @@ def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exsub_drop"),
         )
     )
+
+
+# --- leakage-safe train/val/test split -----------------------------------------
+# Training-data governance: a row-level random split leaks — near-
+# duplicate documents (which cluster within a site) land on both sides
+# of the train/eval boundary and the eval set stops measuring
+# generalization (the within-corpus contamination cousin of
+# q_decontaminate's external check). The standard fix is to split by
+# the GROUP key, not the row: every document of a domain goes to the
+# same side, so no near-dup pair can straddle unless it also crosses
+# domains (which q_decontaminate / corpus_keep then cover).
+#
+# Mechanics: the split is a pure function of the domain id — a
+# multiplicative mix reduced mod 100 (same reduced-key discipline as
+# crawl-trap's session mix: (k mod P)·A mod P stays in int64 at any
+# SF) — so assignment is a ZERO-SHUFFLE narrow map: no hash table of
+# domains, no join, nothing to rebalance when the corpus grows; a new
+# document of a known domain lands deterministically where its
+# siblings went. Spark's own randomSplit is row-level and
+# nondeterministic under re-partitioning — exactly what this operator
+# exists to avoid.
+
+SPLIT_TRAIN_PCT = 80  # [0,80) train, [80,90) val, [90,100) test
+SPLIT_VAL_PCT = 90
+SPLIT_MIX_A = 2654435761  # Knuth multiplicative constant
+SPLIT_MIX_P = 1000000007
+
+
+def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host, split_bucket, split): deterministic domain-keyed
+    train/val/test assignment — all docs of a host share a split."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    dom = F.col("doc_id") % DOMAIN_MOD
+    bucket = (
+        (dom % SPLIT_MIX_P) * SPLIT_MIX_A % SPLIT_MIX_P % 100
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.format_string("site-%d.example.org", dom).alias("host"),
+        bucket.alias("split_bucket"),
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -723,3 +723,146 @@ def q_crawl_trap_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"), F.col("n_urls") - TRAP_TEMPLATE_CAP
         ).alias("excess_urls"),
     )
+
+
+# --- DUST: irrelevant-query-parameter mining -----------------------------------
+# "Different URLs with Similar Text" (Bar-Yossef, Keidar & Schonfeld,
+# WWW 2007): a crawler that learns which query parameters never change
+# page content can canonicalize them away BEFORE fetching — the
+# highest-leverage dedup there is, since it prevents the fetch instead
+# of deduping the payload. This is the parameter-deletion rule class:
+# for a candidate parameter p, bucket URLs by everything EXCEPT p's
+# value; a bucket where p varies but the content hash does not is
+# supporting evidence, a bucket where content varies with p is a
+# violation; the rule "drop p on host H" is valid iff it has support
+# and zero violations.
+#
+# The URL corpus is synthesized from orders by a mixed-radix decode of
+# o_orderkey (every (host, path, page, ref, session) combination
+# materializes), with content a pure function of (host, path, page) —
+# so "page" accumulates violations and "ref"/"session" only support.
+# The operator itself starts from the URL STRING (regex parse is part
+# of what the oracle verifies), not the synthesis columns.
+#
+# Scale shape: parse + explode are narrow maps; the first groupBy keys
+# on (param, residual-URL) — bounded-length strings here; at 10^10
+# URLs the key would be xxhash64(residual) with survivors re-checked,
+# the boilerplate-strip discipline — and the per-bucket state is two
+# exact distinct-counts over small ints. The second groupBy is
+# (host, param): hosts × 3 rows. No window, no join anywhere.
+
+DUST_PARAMS = ("page", "ref", "session")
+DUST_P_PATH = 50  # mixed-radix widths of the synthetic URL space
+DUST_P_PAGE = 3
+DUST_P_REF = 4
+DUST_P_SESSION = 5
+DUST_P_HOST = 8
+
+
+def dust_urls(orders: DataFrame) -> DataFrame:
+    """(url, content_hash) rows: mixed-radix URL synthesis over
+    o_orderkey; content depends on host/path/page only."""
+    o = F.col("o_orderkey")
+    p = o % DUST_P_PATH
+    g = F.expr(f"o_orderkey div {DUST_P_PATH}") % DUST_P_PAGE
+    r = F.expr(f"o_orderkey div {DUST_P_PATH * DUST_P_PAGE}") % DUST_P_REF
+    s = (
+        F.expr(f"o_orderkey div {DUST_P_PATH * DUST_P_PAGE * DUST_P_REF}")
+        % DUST_P_SESSION
+    )
+    h = (
+        F.expr(
+            f"o_orderkey div "
+            f"{DUST_P_PATH * DUST_P_PAGE * DUST_P_REF * DUST_P_SESSION}"
+        )
+        % DUST_P_HOST
+    )
+    return orders.select(
+        F.format_string(
+            "https://h%d.example.com/cat/%d?page=%d&ref=%d&session=%d",
+            h, p, g, r, s,
+        ).alias("url"),
+        (((h + 1) * 1009 + p * 97 + g * 31) % 1000000007)
+        .cast("long")
+        .alias("content_hash"),
+    )
+
+
+def q_dust_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (host, param): DUST parameter-deletion rule mining —
+    (host, param, n_groups, supports, violations, irrelevant) where a
+    group is a set of URLs identical except for the param's value,
+    support = group where the param varies but content does not,
+    violation = group where content varies too, and irrelevant
+    (the rule "this param never matters on this host") requires
+    support ≥ 1 and violations = 0."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    urls = dust_urls(orders)
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    path = F.regexp_extract("url", r"^https://[^/]+(/[^?]*)", 1)
+    vals = {
+        p: F.regexp_extract("url", rf"[?&]{p}=([0-9]+)", 1)
+        for p in DUST_PARAMS
+    }
+    parsed = urls.select(
+        "content_hash",
+        host.alias("host"),
+        path.alias("path"),
+        *[vals[p].alias(f"v_{p}") for p in DUST_PARAMS],
+    )
+    # one row per (candidate param, URL): residual = all parts except
+    # the candidate's value, in a fixed name=value order
+    variants = parsed.select(
+        "content_hash",
+        "host",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("param"),
+                        F.concat_ws(
+                            "&",
+                            F.col("host"),
+                            F.col("path"),
+                            *[
+                                F.concat(F.lit(f"{q}="), F.col(f"v_{q}"))
+                                for q in DUST_PARAMS
+                                if q != p
+                            ],
+                        ).alias("residual"),
+                        F.col(f"v_{p}").alias("pval"),
+                    )
+                    for p in DUST_PARAMS
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "content_hash",
+        "host",
+        F.col("x.param").alias("param"),
+        F.col("x.residual").alias("residual"),
+        F.col("x.pval").alias("pval"),
+    )
+    groups = variants.groupBy("host", "param", "residual").agg(
+        F.countDistinct("pval").cast("long").alias("nv"),
+        F.countDistinct("content_hash").cast("long").alias("nh"),
+    )
+    rules = groups.groupBy("host", "param").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            ((F.col("nv") >= 2) & (F.col("nh") == 1)).cast("long")
+        ).alias("supports"),
+        F.sum(
+            ((F.col("nv") >= 2) & (F.col("nh") >= 2)).cast("long")
+        ).alias("violations"),
+    )
+    return rules.select(
+        "host",
+        "param",
+        "n_groups",
+        "supports",
+        "violations",
+        ((F.col("supports") >= 1) & (F.col("violations") == 0)).alias(
+            "irrelevant"
+        ),
+    )

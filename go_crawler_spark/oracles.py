@@ -3089,3 +3089,111 @@ FROM ranked
 
 
 ASPECT_BUCKET_PACK = _aspect_bucket_pack_sql()
+
+# --- DUST irrelevant-parameter rules --------------------------------------------
+# Mirrors parsing.q_dust_param_rules end to end: mixed-radix URL
+# synthesis from o_orderkey, regex re-parse of host/path/param values
+# from the URL STRING (the parse is part of what's verified), residual
+# bucketing per candidate param, exact distinct counts, rule verdict.
+
+
+def _dust_param_rules_sql() -> str:
+    from go_crawler_spark.functions.parsing import (
+        DUST_P_HOST,
+        DUST_P_PAGE,
+        DUST_P_PATH,
+        DUST_P_REF,
+        DUST_P_SESSION,
+        DUST_PARAMS,
+    )
+
+    d1 = DUST_P_PATH
+    d2 = d1 * DUST_P_PAGE
+    d3 = d2 * DUST_P_REF
+    variant_selects = []
+    for p in DUST_PARAMS:
+        others = " || '&' || ".join(
+            f"'{q}=' || v_{q}" for q in DUST_PARAMS if q != p
+        )
+        variant_selects.append(
+            f"""SELECT content_hash, host, '{p}' AS param,
+       host || '&' || path || '&' || {others} AS residual,
+       v_{p} AS pval
+FROM parsed"""
+        )
+    variants = "\nUNION ALL\n".join(variant_selects)
+    return f"""
+WITH urls AS (
+  SELECT printf('https://h%d.example.com/cat/%d?page=%d&ref=%d&session=%d',
+                (o_orderkey // {d3 * DUST_P_SESSION}) % {DUST_P_HOST},
+                o_orderkey % {d1},
+                (o_orderkey // {d1}) % {DUST_P_PAGE},
+                (o_orderkey // {d2}) % {DUST_P_REF},
+                (o_orderkey // {d3}) % {DUST_P_SESSION}) AS url,
+         CAST((((o_orderkey // {d3 * DUST_P_SESSION}) % {DUST_P_HOST} + 1)
+               * 1009
+               + (o_orderkey % {d1}) * 97
+               + ((o_orderkey // {d1}) % {DUST_P_PAGE}) * 31)
+              % 1000000007 AS BIGINT) AS content_hash
+  FROM orders),
+parsed AS (
+  SELECT content_hash,
+         regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+         regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+         regexp_extract(url, '[?&]page=([0-9]+)', 1) AS v_page,
+         regexp_extract(url, '[?&]ref=([0-9]+)', 1) AS v_ref,
+         regexp_extract(url, '[?&]session=([0-9]+)', 1) AS v_session
+  FROM urls),
+variants AS (
+{variants}),
+groups AS (
+  SELECT host, param, residual,
+         CAST(count(DISTINCT pval) AS BIGINT) AS nv,
+         CAST(count(DISTINCT content_hash) AS BIGINT) AS nh
+  FROM variants GROUP BY host, param, residual)
+SELECT host, param,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS supports,
+       CAST(SUM(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       (SUM(CASE WHEN nv >= 2 AND nh = 1 THEN 1 ELSE 0 END) >= 1
+        AND SUM(CASE WHEN nv >= 2 AND nh >= 2 THEN 1 ELSE 0 END) = 0)
+         AS irrelevant
+FROM groups GROUP BY host, param
+"""
+
+
+DUST_PARAM_RULES = _dust_param_rules_sql()
+
+# --- leakage-safe domain split ---------------------------------------------------
+# Mirrors cleaning.q_domain_split: split is a pure function of the
+# domain id (reduced multiplicative mix mod 100) — zero-shuffle
+# governance; all docs of a host share a split by construction.
+
+
+def _domain_split_sql() -> str:
+    from go_crawler_spark.functions.cleaning import (
+        DOMAIN_MOD,
+        SPLIT_MIX_A,
+        SPLIT_MIX_P,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    bucket = (
+        f"((doc_id % {DOMAIN_MOD}) % {SPLIT_MIX_P}) * {SPLIT_MIX_A} "
+        f"% {SPLIT_MIX_P} % 100"
+    )
+    return f"""
+SELECT doc_id,
+       printf('site-%d.example.org', doc_id % {DOMAIN_MOD}) AS host,
+       CAST({bucket} AS BIGINT) AS split_bucket,
+       CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {bucket} < {SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+DOMAIN_SPLIT = _domain_split_sql()

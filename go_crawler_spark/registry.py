@@ -213,6 +213,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.q_aspect_bucket_pack,
         oracles.ASPECT_BUCKET_PACK,
     ),
+    # DUST parameter-deletion rule mining (canonicalize before fetch)
+    "dust_param_rules": (
+        parsing.q_dust_param_rules,
+        oracles.DUST_PARAM_RULES,
+    ),
+    # leakage-safe domain-keyed train/val/test split (zero shuffle)
+    "domain_split": (cleaning.q_domain_split, oracles.DOMAIN_SPLIT),
     # ---- remaining window slots: r04-green entries touched or
     # adjacent this round (the overflow past position 50 is r04
     # driver-green with judge-local re-verification) ----

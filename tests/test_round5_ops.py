@@ -310,3 +310,65 @@ def test_aspect_bucket_pack_matches_bruteforce(spark, sf_small):
     for bid, ds in buckets.items():
         assert dropped.get(bid, 0) == len(ds) % ASPECT_BATCH
     assert len(buckets) > 1  # the ladder is actually exercised
+
+
+def test_dust_param_rules_planted_classes(spark, sf_small):
+    """The mixed-radix synthesis plants 'ref'/'session' as content-
+    irrelevant and 'page' as content-bearing; the miner must recover
+    exactly that on every host, with support counted only where the
+    param actually varied within a bucket."""
+    from go_crawler_spark.functions.parsing import q_dust_param_rules
+
+    rows = q_dust_param_rules(spark, sf_small).collect()
+    assert rows
+    by_param: dict[str, list] = {}
+    for r in rows:
+        by_param.setdefault(r["param"], []).append(r)
+    assert set(by_param) == {"page", "ref", "session"}
+    for r in by_param["ref"] + by_param["session"]:
+        assert r["irrelevant"] and r["violations"] == 0 and r["supports"] >= 1
+    for r in by_param["page"]:
+        assert not r["irrelevant"] and r["violations"] >= 1
+    # every counted group is accounted for: supports+violations never
+    # exceed the group count (nv<2 groups are evidence-free)
+    assert all(
+        r["supports"] + r["violations"] <= r["n_groups"] for r in rows
+    )
+
+
+def test_domain_split_no_straddle_and_proportions(spark, sf_small):
+    """Every host lands in exactly one split (the leakage-safety
+    property a row-level split lacks), all three splits are non-empty
+    at this SF, and the bucket is the documented reduced mix."""
+    from go_crawler_spark.functions.cleaning import (
+        DOMAIN_MOD,
+        SPLIT_MIX_A,
+        SPLIT_MIX_P,
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        q_domain_split,
+    )
+
+    rows = q_domain_split(spark, sf_small).collect()
+    host_splits: dict[str, set] = {}
+    for r in rows:
+        host_splits.setdefault(r["host"], set()).add(r["split"])
+        dom = r["doc_id"] % DOMAIN_MOD
+        b = (dom % SPLIT_MIX_P) * SPLIT_MIX_A % SPLIT_MIX_P % 100
+        assert r["split_bucket"] == b
+        want = (
+            "train" if b < SPLIT_TRAIN_PCT
+            else "val" if b < SPLIT_VAL_PCT
+            else "test"
+        )
+        assert r["split"] == want
+    assert all(len(s) == 1 for s in host_splits.values())
+    assert {s for ss in host_splits.values() for s in ss} == {
+        "train", "val", "test",
+    }
+    # a row-level split WOULD straddle: two docs of one host exist
+    multi = [h for h, _ in host_splits.items()]
+    from collections import Counter
+
+    per_host = Counter(r["host"] for r in rows)
+    assert multi and max(per_host.values()) >= 2

@@ -243,6 +243,18 @@ AUDITED = {
         ["Window", "BroadcastHashJoin"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # DUST rule mining: parse + 3-way explode are narrow (Generate);
+    # two hash aggregations (per-bucket distincts, per-host-param
+    # verdicts) and nothing else — no join of any kind.
+    "dust_param_rules": (
+        ["Generate", "HashAggregate", "Exchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
+    # leakage-safe split: a pure narrow map — no Exchange anywhere
+    "domain_split": (
+        ["Project"],
+        ["Exchange", "CartesianProduct"],
+    ),
     # exact-substring coverage: positional span hashes come from the
     # Arrow-batched rolling-hash kernel (MapInPandas — token text never
     # leaves the scan partition); the occurrence groupBy and the
