@@ -192,6 +192,8 @@ def main() -> None:
         "aspect_bucket_pack",  # image-training batch assembly
         "dust_param_rules",  # canonicalize-before-fetch rule mining
         "domain_split",  # leakage-safe train/val/test assignment
+        "bpe_top_pairs",  # tokenizer-training first merge
+        "ngram_count_of_counts",  # LM smoothing statistics
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

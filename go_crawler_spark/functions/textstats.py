@@ -521,3 +521,113 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_packs", (F.col("pack_last") - F.col("pack_first") + F.lit(1)).cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer training: the first BPE merge iteration (Sennrich et al.
+# 2016 / GPT-2's byte-level variant at word grain). Training a BPE
+# vocabulary over a 100 TB corpus is itself a distributed counting
+# job: (1) collapse the corpus to a WORD-FREQUENCY table — after this
+# one shuffle every later iteration touches |vocab| rows, not the
+# corpus — and (2) weight each word's adjacent symbol pairs by the
+# word's count and rank merge candidates. This operator emits the
+# top-BPE_TOPK first-iteration merge candidates; a full trainer loops
+# step (2) against the (tiny) word table, never the corpus.
+#
+# Scale shape: words explode map-side from the scan; the corpus-wide
+# shuffle is (word, count) — at 10^10 docs the key would be
+# xxhash64(word) with the string carried alongside (short keys; same
+# re-check discipline as boilerplate). Pair generation runs on the
+# DISTINCT word table (vocab-sized), and the pair ranking windows
+# over pre-aggregated (pair, count) rows — bounded by the symbol
+# alphabet squared, a few KB of state.
+# --------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-BPE_TOPK adjacent character pairs by corpus frequency —
+    (rank, pair, n_occurrences), the first BPE merge's candidate list.
+    Ties break lexicographically on the pair."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("wn")
+    )
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "wn",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wn").cast("long").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BPE_TOPK)
+        .select("rank", "pair", "n_occurrences")
+    )
+
+
+# --------------------------------------------------------------------------
+# LM smoothing statistics: the count-of-counts table N_c = |{bigram :
+# count(bigram) = c}| that Good-Turing and (modified) Kneser-Ney
+# discounting read their discounts off (Chen & Goodman 1998 §3). At
+# corpus scale this is two counting shuffles: bigram→count (the only
+# corpus-wide one; 16-byte hashed keys at 10^10 docs), then count→N_c
+# over the distinct-bigram table. Counts above CC_MAX_C pool into one
+# tail row (c = CC_MAX_C + 1), the standard table shape — discounts
+# only need small-c resolution.
+# --------------------------------------------------------------------------
+
+CC_MAX_C = 10
+
+
+def q_ngram_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c, n_bigrams): how many distinct word bigrams occur exactly c
+    times (c ≤ CC_MAX_C; everything rarer-than-rare pools at
+    CC_MAX_C + 1). Bigrams are adjacent lowercased word pairs."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    grams = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    counts = grams.groupBy("bigram").agg(
+        F.count(F.lit(1)).cast("long").alias("c0")
+    )
+    bucketed = counts.select(
+        F.when(F.col("c0") <= CC_MAX_C, F.col("c0"))
+        .otherwise(F.lit(CC_MAX_C + 1))
+        .cast("long")
+        .alias("c")
+    )
+    return bucketed.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams")
+    )

@@ -3197,3 +3197,60 @@ FROM documents
 
 
 DOMAIN_SPLIT = _domain_split_sql()
+
+# --- BPE first-merge candidates ---------------------------------------------------
+# Mirrors textstats.q_bpe_top_pairs: corpus → word-frequency table →
+# count-weighted adjacent char pairs → top-K by (count desc, pair asc).
+
+
+def _bpe_top_pairs_sql() -> str:
+    from go_crawler_spark.functions.textstats import BPE_TOPK
+
+    return f"""
+WITH words AS (
+  SELECT unnest({_TOK_LOWER}) AS word FROM documents),
+wc AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS wn FROM words GROUP BY word),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 2) AS pair, wn
+  FROM wc, unnest(generate_series(1, len(word) - 1)) AS u(i)
+  WHERE len(word) >= 2),
+agg AS (
+  SELECT pair, CAST(SUM(wn) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+  FROM agg)
+SELECT CAST(rank AS BIGINT) AS rank, pair, n_occurrences
+FROM ranked WHERE rank <= {BPE_TOPK}
+"""
+
+
+BPE_TOP_PAIRS = _bpe_top_pairs_sql()
+
+# --- bigram count-of-counts --------------------------------------------------------
+# Mirrors textstats.q_ngram_count_of_counts: adjacent lowercased word
+# bigram counts, then N_c with the > CC_MAX_C tail pooled at MAX_C+1.
+
+
+def _ngram_count_of_counts_sql() -> str:
+    from go_crawler_spark.functions.textstats import CC_MAX_C
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_LOWER} AS ts FROM documents),
+grams AS (
+  SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bigram
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2),
+counts AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c0 FROM grams GROUP BY bigram),
+bucketed AS (
+  SELECT CAST(CASE WHEN c0 <= {CC_MAX_C} THEN c0
+                   ELSE {CC_MAX_C + 1} END AS BIGINT) AS c
+  FROM counts)
+SELECT c, CAST(count(*) AS BIGINT) AS n_bigrams FROM bucketed GROUP BY c
+"""
+
+
+NGRAM_COUNT_OF_COUNTS = _ngram_count_of_counts_sql()

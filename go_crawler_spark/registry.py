@@ -220,6 +220,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # leakage-safe domain-keyed train/val/test split (zero shuffle)
     "domain_split": (cleaning.q_domain_split, oracles.DOMAIN_SPLIT),
+    # first BPE merge iteration: corpus → word table → weighted pairs
+    "bpe_top_pairs": (textstats.q_bpe_top_pairs, oracles.BPE_TOP_PAIRS),
+    # Good-Turing / Kneser-Ney count-of-counts smoothing table
+    "ngram_count_of_counts": (
+        textstats.q_ngram_count_of_counts,
+        oracles.NGRAM_COUNT_OF_COUNTS,
+    ),
     # ---- remaining window slots: r04-green entries touched or
     # adjacent this round (the overflow past position 50 is r04
     # driver-green with judge-local re-verification) ----

@@ -372,3 +372,67 @@ def test_domain_split_no_straddle_and_proportions(spark, sf_small):
 
     per_host = Counter(r["host"] for r in rows)
     assert multi and max(per_host.values()) >= 2
+
+
+def test_bpe_top_pairs_matches_bruteforce(spark, sf_small):
+    """The first BPE merge's candidate list equals a pure-Python
+    replay: word-frequency table, count-weighted adjacent char pairs,
+    (count desc, pair asc) ranking."""
+    from collections import Counter
+
+    from go_crawler_spark.functions.textstats import (
+        BPE_TOPK,
+        q_bpe_top_pairs,
+    )
+
+    texts = [
+        r["text"]
+        for r in load(spark, sf_small, "documents").select("text").collect()
+    ]
+    wc: Counter = Counter()
+    for t in texts:
+        wc.update(w for w in t.strip().lower().split() if w)
+    pc: Counter = Counter()
+    for w, n in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += n
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOPK]
+    got = [
+        (r["pair"], r["n_occurrences"])
+        for r in q_bpe_top_pairs(spark, sf_small)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    # the ranking is over genuinely weighted counts, not raw vocab
+    assert got[0][1] > 1
+
+
+def test_ngram_count_of_counts_matches_bruteforce(spark, sf_small):
+    """N_c equals a pure-Python bigram count; the tail pools at
+    CC_MAX_C + 1; Σ_c N_c = distinct bigram count (nothing dropped)."""
+    from collections import Counter
+
+    from go_crawler_spark.functions.textstats import (
+        CC_MAX_C,
+        q_ngram_count_of_counts,
+    )
+
+    texts = [
+        r["text"]
+        for r in load(spark, sf_small, "documents").select("text").collect()
+    ]
+    bc: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.strip().lower().split() if w]
+        for i in range(len(ws) - 1):
+            bc[(ws[i], ws[i + 1])] += 1
+    nc: Counter = Counter()
+    for c in bc.values():
+        nc[min(c, CC_MAX_C + 1)] += 1
+    got = {
+        r["c"]: r["n_bigrams"]
+        for r in q_ngram_count_of_counts(spark, sf_small).collect()
+    }
+    assert got == dict(nc)
+    assert sum(got.values()) == len(bc)

@@ -255,6 +255,17 @@ AUDITED = {
         ["Project"],
         ["Exchange", "CartesianProduct"],
     ),
+    # BPE candidates: words explode map-side (Generate), one corpus
+    # shuffle to the word table, pair ranking over pre-aggregated rows
+    "bpe_top_pairs": (
+        ["Generate", "HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
+    # count-of-counts: two counting aggregations, no join, no window
+    "ngram_count_of_counts": (
+        ["Generate", "HashAggregate", "Exchange"],
+        ["CartesianProduct", "Window", "SortMergeJoin"],
+    ),
     # exact-substring coverage: positional span hashes come from the
     # Arrow-batched rolling-hash kernel (MapInPandas — token text never
     # leaves the scan partition); the occurrence groupBy and the
