@@ -214,6 +214,7 @@ def main() -> None:
     kernel["elapsed_sec_runs"] = [k["elapsed_sec"] for k in kernel_runs]
     crawl = run_crawl_e2e(spark, scale)
     crawl_pr = run_crawl_e2e(spark, scale, order="pagerank")
+    crawl_opic = run_crawl_e2e(spark, scale, order="opic")
     total = round(time.time() - t_all, 2)
 
     try:
@@ -240,6 +241,7 @@ def main() -> None:
                 "crawl_round_kernel": kernel,
                 "crawl_e2e_bfs": crawl,
                 "crawl_e2e_pagerank": crawl_pr,
+                "crawl_e2e_opic": crawl_opic,
                 "cpus": cpus,
             }
         ),
@@ -265,6 +267,10 @@ def main() -> None:
         "crawl_e2e_pagerank": {
             "urls_per_sec": crawl_pr["urls_per_sec"],
             "elapsed_sec": crawl_pr["elapsed_sec"],
+        },
+        "crawl_e2e_opic": {
+            "urls_per_sec": crawl_opic["urls_per_sec"],
+            "elapsed_sec": crawl_opic["elapsed_sec"],
         },
     }
     line = json.dumps(summary)

@@ -122,15 +122,26 @@ class CrawlConfig:
     # Python), so the golden trace pins the integration bit-for-bit.
     # The reference's dequeue loop has no prioritization at all
     # (/root/reference/internal/usecase/crawler.go:606-641); this is
-    # the north rule's non-trivial "priority" axis.
-    pagerank_every: int = 2  # recompute cadence (rounds) for order=pagerank
+    # the north rule's non-trivial "priority" axis. "opic" = priority
+    # is the OPIC running importance (cash + history; Abiteboul 2003 —
+    # the estimate designed to be read mid-crawl) over the same
+    # discovered-edge table, recomputed on the same pagerank_every
+    # cadence; URLs discovered after the last recompute rank at the
+    # fresh-page endowment (OPIC_SCALE). Same exact-integer twin
+    # discipline as order='pagerank'.
+    pagerank_every: int = 2  # recompute cadence (rounds) for rank orders
     pagerank_iters: int = 2  # damped power iterations per recompute
+    opic_iters: int = 2  # synchronous OPIC rounds per recompute
 
     def __post_init__(self) -> None:
-        if self.order not in ("bfs", "priority", "pagerank"):
-            raise ValueError("order must be 'bfs', 'priority' or 'pagerank'")
+        if self.order not in ("bfs", "priority", "pagerank", "opic"):
+            raise ValueError(
+                "order must be 'bfs', 'priority', 'pagerank' or 'opic'"
+            )
         if self.pagerank_every < 1 or self.pagerank_iters < 1:
             raise ValueError("pagerank_every and pagerank_iters must be >= 1")
+        if self.opic_iters < 1:
+            raise ValueError("opic_iters must be >= 1")
         if self.round_seconds <= 0:
             raise ValueError("round_seconds must be > 0")
         if self.max_rounds < 1:

@@ -185,9 +185,9 @@ class CrawlResult:
         omap = F.create_map(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         )
-        if self.order in ("priority", "pagerank"):
-            # pagerank traces record the rank-in-force at dequeue time
-            # in the priority column, so the same key totalizes both
+        if self.order in ("priority", "pagerank", "opic"):
+            # rank-order traces record the rank-in-force at dequeue
+            # time in the priority column, so the same key totalizes all
             key = [F.col("priority").desc(), F.col("depth"), F.col("seq_path")]
         else:
             key = [F.col("depth"), F.col("seq_path")]
@@ -285,7 +285,7 @@ class CrawlEngine:
         priority/pagerank modes rank by priority desc first, same
         tie-break (pagerank rewrites the priority column at dequeue
         time from the latest rank table)."""
-        if self.cfg.order in ("priority", "pagerank"):
+        if self.cfg.order in ("priority", "pagerank", "opic"):
             return [F.col("priority").desc(), F.col("depth"), F.col("seq_path")]
         return [F.col("depth"), F.col("seq_path")]
 
@@ -302,25 +302,25 @@ class CrawlEngine:
         # cfg.allow (corpus.build_robots guarantees it); the simulator
         # uses the global sets.
         if ranks is not None:
-            # order='pagerank': the priority column is live — join the
-            # latest rank table by url_hash; URLs discovered after the
-            # last recompute rank at the teleport floor (same rule in
-            # the simulator). Broadcast is the right strategy while the
+            # rank orders ('pagerank'/'opic'): the priority column is
+            # live — join the latest rank table by url_hash; URLs
+            # discovered after the last recompute rank at the mode's
+            # floor (pagerank: teleport mass; opic: the fresh-page
+            # cash endowment — same rule in the simulator twin).
+            # Broadcast is the right strategy while the
             # rank table fits (bounded by |seen|); past broadcast size
             # drop the hint and this becomes a shuffle equi-join on the
             # 8-byte key — pending shuffles either way for the window
             # below, so no extra Exchange is introduced. Ranks are
             # exact longs < 2^53 wherever the trace is compared, so the
             # double cast is lossless there.
-            from go_crawler_spark.functions.linkgraph import PR_TELEPORT
-
             pending = (
                 pending.join(F.broadcast(ranks), "url_hash", "left")
                 .withColumn(
                     "priority",
                     F.coalesce(
                         F.col("pr").cast("double"),
-                        F.lit(float(PR_TELEPORT)),
+                        F.lit(float(self._rank_floor())),
                     ),
                 )
                 .drop("pr")
@@ -661,8 +661,8 @@ class CrawlEngine:
         t0 = _tlog("a3_dedupe_fresh", t0)
 
         edges_inc = None
-        if self.cfg.order == "pagerank":
-            # action 4 (pagerank mode only): the round's discovered-edge
+        if self.cfg.order in ("pagerank", "opic"):
+            # action 4 (rank modes only): the round's discovered-edge
             # increment — (fetching page → robots-allowed candidate),
             # INCLUDING links to already-seen URLs (in-links to popular
             # pages are exactly what rank rewards). Only 16-byte hash
@@ -695,23 +695,43 @@ class CrawlEngine:
             flagged.unpersist()
         return fresh, trace, pages, stats, edges_inc
 
-    def _pagerank_table(
+    def _rank_floor(self) -> int:
+        """Priority for URLs absent from the rank table (discovered
+        after the last recompute): pagerank's teleport mass, or OPIC's
+        fresh-page cash endowment. The simulator twins pin both."""
+        if self.cfg.order == "opic":
+            from go_crawler_spark.functions.linkgraph import OPIC_SCALE
+
+            return OPIC_SCALE
+        from go_crawler_spark.functions.linkgraph import PR_TELEPORT
+
+        return PR_TELEPORT
+
+    def _rank_table(
         self, nodes: DataFrame, edges: DataFrame | None
     ) -> DataFrame:
-        """(url_hash, pr) over every known node — the order='pagerank'
+        """(url_hash, pr) over every known node — the rank-order
         dequeue priority source, checkpointed eagerly (one action; the
-        table is read by every dequeue until the next recompute)."""
-        from go_crawler_spark.functions.linkgraph import pagerank_ranks
+        table is read by every dequeue until the next recompute).
+        order='pagerank' ranks by damped PageRank mass; order='opic'
+        by the OPIC running importance (cash + banked history) —
+        both exact-integer kernels from functions/linkgraph."""
+        from go_crawler_spark.functions.linkgraph import (
+            opic_scores,
+            pagerank_ranks,
+        )
 
         if edges is None:
             edges = self.spark.createDataFrame([], "src long, dst long")
-        return (
-            pagerank_ranks(
-                nodes.select(F.col("url_hash").alias("doc_id")),
-                edges,
-                self.cfg.pagerank_iters,
+        node_ids = nodes.select(F.col("url_hash").alias("doc_id"))
+        if self.cfg.order == "opic":
+            ranked = opic_scores(node_ids, edges, self.cfg.opic_iters).select(
+                "doc_id", F.col("importance").alias("pr")
             )
-            .select(F.col("doc_id").alias("url_hash"), "pr")
+        else:
+            ranked = pagerank_ranks(node_ids, edges, self.cfg.pagerank_iters)
+        return (
+            ranked.select(F.col("doc_id").alias("url_hash"), "pr")
             .localCheckpoint(eager=True)
         )
 
@@ -777,7 +797,7 @@ class CrawlEngine:
         # order='pagerank' state: discovered-edge increments (one
         # checkpointed frame per round; store-committed alongside the
         # frontier when a store is attached) and the latest rank table.
-        use_pr = cfg.order == "pagerank"
+        use_pr = cfg.order in ("pagerank", "opic")
         edge_incs: list[DataFrame] = []
         ranks_df: DataFrame | None = None
         if use_pr and start_round > 0 and self.store is not None:
@@ -795,7 +815,7 @@ class CrawlEngine:
             if r0 < start_round:  # else round start_round recomputes anyway
                 nodes0 = self.store.read("frontier", as_of_step=r0)
                 ed0 = self.store.read("edges", as_of_step=r0)
-                ranks_df = self._pagerank_table(
+                ranks_df = self._rank_table(
                     nodes0.select("url_hash"),
                     None if ed0 is None else ed0.select("src", "dst").distinct(),
                 )
@@ -817,7 +837,7 @@ class CrawlEngine:
                     edges = edges.distinct()
                 else:
                     edges = None
-                ranks_df = self._pagerank_table(seen_hashes, edges)
+                ranks_df = self._rank_table(seen_hashes, edges)
             fresh, trace, pages, stats, edges_inc = self.run_round(
                 pending_df, seen_hashes, k, bloom, with_payload_verify,
                 ranks=ranks_df,

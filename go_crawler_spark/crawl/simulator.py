@@ -99,6 +99,38 @@ def _pagerank_int(
     return pr
 
 
+# Independently-derived integer OPIC twin for order='opic' (same
+# share-nothing rule as _pagerank_int: NOT imported from
+# functions/linkgraph.py). Every node starts with 1e9 cash; each
+# synchronous round banks cash into history, splits it by floor
+# division along out-links, pools dangling cash, and redistributes
+# the pot uniformly. Importance = cash + history; URLs missing from
+# the table (discovered after the recompute) rank at the fresh-page
+# endowment _OPIC_SCALE.
+_OPIC_SCALE = 1_000_000_000
+
+
+def _opic_int(
+    nodes: set[int], edges: set[tuple[int, int]], iters: int
+) -> dict[int, int]:
+    outdeg: dict[int, int] = {}
+    for s, _d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    cash = {v: _OPIC_SCALE for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(iters):
+        pot = sum(c for v, c in cash.items() if v not in outdeg)
+        inflow: dict[int, int] = {}
+        for s, d in edges:
+            if s in cash:  # engine twin: edges⋈state is an inner join
+                inflow[d] = inflow.get(d, 0) + cash[s] // outdeg[s]
+        share = pot // n
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = {v: inflow.get(v, 0) + share for v in nodes}
+    return {v: cash[v] + hist[v] for v in nodes}
+
+
 def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
     pages = {row["url"]: row for row in corpus.iter_rows(spec)}
     delays = {spec.host(i): spec.crawl_delay(i) for i in range(spec.n_hosts)}
@@ -117,8 +149,11 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
         )
         res.seen.add(cu)
 
-    # order='pagerank' twin state: edges discovered so far (as hash
-    # pairs, deduped by the set) and the rank table in force
+    # rank-order twin state ('pagerank'/'opic'): edges discovered so
+    # far (as hash pairs, deduped by the set) and the rank table in
+    # force, with the mode's floor for URLs missing from the table
+    rank_mode = cfg.order in ("pagerank", "opic")
+    rank_floor = _OPIC_SCALE if cfg.order == "opic" else _PR_TELEPORT
     edges_seen: set[tuple[int, int]] = set()
     ranks: dict[int, int] = {}
 
@@ -127,19 +162,21 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
         if not pending:
             break
         res.rounds = rnd + 1
-        if cfg.order == "pagerank":
+        if rank_mode:
             if rnd % cfg.pagerank_every == 0:
                 # recompute from everything seen / every edge discovered
                 # in rounds < rnd — exactly the engine's cadence
-                ranks = _pagerank_int(
-                    {xxhash64_py(u) for u in res.seen},
-                    edges_seen,
-                    cfg.pagerank_iters,
-                )
+                node_set = {xxhash64_py(u) for u in res.seen}
+                if cfg.order == "opic":
+                    ranks = _opic_int(node_set, edges_seen, cfg.opic_iters)
+                else:
+                    ranks = _pagerank_int(
+                        node_set, edges_seen, cfg.pagerank_iters
+                    )
             rk = dict(ranks)  # bind the in-force table for this round
             pending.sort(
                 key=lambda r: (
-                    -rk.get(r["h"], _PR_TELEPORT), r["depth"], r["seq_path"]
+                    -rk.get(r["h"], rank_floor), r["depth"], r["seq_path"]
                 )
             )
         else:
@@ -186,7 +223,7 @@ def simulate(spec: CorpusSpec, cfg: CrawlConfig) -> SimResult:
                     n_robots += 1
                     continue
                 ch = xxhash64_py(cu)
-                if cfg.order == "pagerank":
+                if rank_mode:
                     # edge: fetching page → robots-allowed candidate,
                     # INCLUDING already-seen targets (in-links to
                     # popular pages are what rank rewards) — the twin

@@ -398,6 +398,12 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Floor remainders leak mass (bounded by outdeg per node per round,
 # < N·(FANOUT+1) per round globally) — leaked, never double-counted,
 # and both engines leak identically.
+#
+# Range bound (the same mass-concentration bound PageRank documents at
+# _wide_floordiv): any cash/hist value ≤ total mass = N·OPIC_SCALE, so
+# longs hold to N < 2^63/OPIC_SCALE ≈ 9.2·10^9 nodes even if every
+# unit of cash concentrated on one page; past that, shrink OPIC_SCALE
+# (the estimate is scale-free) — intermediates are already DECIMAL(38).
 
 OPIC_ITERS = 3
 OPIC_SCALE = 1_000_000_000  # initial cash per page

@@ -415,3 +415,58 @@ def test_config_lineage_row(spark):
         '{"Accept-Language": "ja", "X-Client": "graft"}'
     )
     assert row["order"] == "bfs" and row["disallow"] == "/private"
+
+
+def test_opic_order_trace_matches_golden(spark):
+    """cfg.order='opic': the dequeue priority is the OPIC running
+    importance (cash + banked history) over the edges discovered so
+    far — the authority estimate Abiteboul et al. designed to be read
+    MID-crawl, recomputed on the pagerank_every cadence with
+    not-yet-ranked URLs at the fresh-page endowment. The engine's
+    exact-integer Spark kernel must reproduce the simulator's
+    independently-derived pure-Python bigint OPIC bit-for-bit. The
+    scenario is chosen so OPIC's order diverges from BOTH BFS and
+    PageRank (the two signals genuinely disagree here), so equality
+    pins the OPIC math, not a coincidence of rankings."""
+    import dataclasses
+
+    spec = CorpusSpec(
+        n_hosts=4, lists_per_host=3, pages_per_list=4,
+        details_per_page=6, payloads=False,
+    )
+    base = CrawlConfig(
+        round_seconds=36000.0, per_page=6, max_rounds=6, bloom_shards=8
+    )
+    cfg = dataclasses.replace(
+        base, order="opic", pagerank_every=1, opic_iters=2
+    )
+    golden = simulate(spec, cfg)
+    golden_bfs = simulate(spec, base)
+    golden_pr = simulate(
+        spec,
+        dataclasses.replace(
+            base, order="pagerank", pagerank_every=1, pagerank_iters=2
+        ),
+    )
+    assert golden.order != golden_bfs.order
+    assert golden.order != golden_pr.order  # the signals disagree here
+    assert golden.seen == golden_bfs.seen  # but find the same web
+
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        corpus.build_corpus(spark, spec),
+        corpus.build_robots(spark, spec, cfg.disallow),
+    )
+    res = eng.run(spec=spec, with_payload_verify=False)
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in res.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    assert got == [
+        (rnd, url, status) for rnd, _d, _s, url, _h, status in golden.trace
+    ]
+    seen = {r["url"] for r in res.frontier.select("url").collect()}
+    assert seen == golden.seen
+    assert [vars(m) for m in res.metrics] == golden.metrics

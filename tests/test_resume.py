@@ -216,3 +216,49 @@ def test_pagerank_resume_equals_uninterrupted(
         r["url"] for r in store2.current_frontier().select("url").collect()
     }
     assert seen == golden.seen
+
+
+def test_opic_resume_equals_uninterrupted(
+    spark, tmp_path_factory, corpus_df, robots_df
+):
+    """order='opic' + resume: the OPIC rank order rides the same
+    stored edge lineage and in-force-table rebuild as pagerank — a
+    resumed crawl dequeues exactly as the uninterrupted one, including
+    rounds where the table in force predates the resume point."""
+    import dataclasses
+
+    from go_crawler_spark.crawl.simulator import simulate
+
+    cfg = dataclasses.replace(CFG, order="opic", pagerank_every=2,
+                              opic_iters=2)
+    golden = simulate(SPEC, cfg)
+    assert golden.rounds >= 5  # enough rounds to interrupt mid-cadence
+
+    base = str(tmp_path_factory.mktemp("crawlstore_opic"))
+    store1 = SnapshotStore(spark, base)
+    cfg_partial = dataclasses.replace(cfg, max_rounds=3)
+    CrawlEngine(spark, cfg_partial, corpus_df, robots_df, store=store1).run(
+        spec=SPEC, with_payload_verify=False
+    )
+    assert store1.latest_step() == 3  # resume lands on round 3 (odd)
+
+    store2 = SnapshotStore(spark, base)
+    resumed = CrawlEngine(spark, cfg, corpus_df, robots_df, store=store2).run(
+        spec=SPEC, with_payload_verify=False, resume=True
+    )
+    assert resumed.metrics[0].round == 3
+    got = [
+        (r["round"], r["url"], r["status"])
+        for r in resumed.ordered_trace().orderBy("pos")
+        .select("round", "url", "status").collect()
+    ]
+    expect = [
+        (rnd, url, status)
+        for rnd, _d, _s, url, _h, status in golden.trace
+        if rnd >= 3
+    ]
+    assert got == expect
+    seen = {
+        r["url"] for r in store2.current_frontier().select("url").collect()
+    }
+    assert seen == golden.seen
