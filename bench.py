@@ -210,6 +210,17 @@ def main() -> None:
         run_kernel(spark, n_rows=int(2_000_000 * scale), n_hosts=500, fanout=6)
         for _ in range(2)
     ]
+    # >2× spread between the two runs means the estimator has not
+    # converged (the fault storm straddled both samples — measured
+    # [172.9, 80.2] vs [17.5, 17.5] for the identical plan an hour
+    # apart); one more sample then, all runs still published.
+    times = [k["elapsed_sec"] for k in kernel_runs]
+    if max(times) > 2 * min(times):
+        kernel_runs.append(
+            run_kernel(
+                spark, n_rows=int(2_000_000 * scale), n_hosts=500, fanout=6
+            )
+        )
     kernel = min(kernel_runs, key=lambda k: k["elapsed_sec"])
     kernel["elapsed_sec_runs"] = [k["elapsed_sec"] for k in kernel_runs]
     crawl = run_crawl_e2e(spark, scale)
