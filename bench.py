@@ -194,6 +194,7 @@ def main() -> None:
         "domain_split",  # leakage-safe train/val/test assignment
         "bpe_top_pairs",  # tokenizer-training first merge
         "ngram_count_of_counts",  # LM smoothing statistics
+        "shard_balance",  # token-balanced output shards
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -631,3 +631,62 @@ def q_ngram_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("c").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams")
     )
+
+
+# --------------------------------------------------------------------------
+# Token-balanced shard assignment: write the corpus as SHARD_N output
+# shards whose token totals balance, so no trainer data-loader rank
+# starves (the static cousin of work stealing). Serpentine folded
+# round-robin over the size-descending order — the classic LPT-style
+# approximation: rank docs by (n_tokens desc, doc_id), walk ranks in
+# blocks of SHARD_N, alternate direction per block; big docs spread
+# first, each block contributes once to every shard.
+#
+# Scale shape: the global size rank uses the two-phase prefix-sum
+# discipline (q_seq_pack's): per-(n_tokens, chunk) counts, ONE
+# single-task window over that small cell table (sizes × chunks rows),
+# then rank windows WITHIN cells (each bounded by the SHARD_CHUNK
+# doc-id range). chunk = doc_id div SHARD_CHUNK is monotone in doc_id,
+# so (n_tokens desc, chunk, doc_id) IS (n_tokens desc, doc_id) — the
+# cell decomposition changes no rank. Shard math is pure integers.
+# --------------------------------------------------------------------------
+
+SHARD_N = 8  # output shard count
+SHARD_CHUNK = 100  # doc_id range per rank cell
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, rank, shard): serpentine token-balanced
+    assignment of every document to one of SHARD_N output shards."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    t = docs.withColumn("chunk", F.expr(f"doc_id div {SHARD_CHUNK}"))
+    cell = t.groupBy("n_tokens", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cells = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cell.select(
+        "n_tokens",
+        "chunk",
+        F.coalesce(F.sum("cnt").over(w_cells), F.lit(0))
+        .cast("long")
+        .alias("c_off"),
+    )
+    w_in = Window.partitionBy("n_tokens", "chunk").orderBy("doc_id")
+    placed = t.join(F.broadcast(offsets), ["n_tokens", "chunk"]).withColumn(
+        "rank", (F.col("c_off") + F.row_number().over(w_in)).cast("long")
+    )
+    r0 = F.col("rank") - 1
+    pos = r0 % SHARD_N
+    shard = F.when(
+        F.expr(f"(rank - 1) div {SHARD_N}") % 2 == 0, pos
+    ).otherwise(SHARD_N - 1 - pos)
+    return placed.select(
+        "doc_id", "n_tokens", "rank", shard.cast("long").alias("shard")
+    )

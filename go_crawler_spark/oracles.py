@@ -3254,3 +3254,29 @@ SELECT c, CAST(count(*) AS BIGINT) AS n_bigrams FROM bucketed GROUP BY c
 
 
 NGRAM_COUNT_OF_COUNTS = _ngram_count_of_counts_sql()
+
+# --- token-balanced shard assignment ----------------------------------------------
+# Mirrors textstats.q_shard_balance: global (n_tokens desc, doc_id)
+# rank, serpentine folded round-robin over SHARD_N shards.
+
+
+def _shard_balance_sql() -> str:
+    from go_crawler_spark.functions.textstats import SHARD_N
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS n_tokens FROM documents),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r
+  FROM toks)
+SELECT doc_id, n_tokens, CAST(r AS BIGINT) AS rank,
+       CAST(CASE WHEN ((r - 1) // {SHARD_N}) % 2 = 0
+                 THEN (r - 1) % {SHARD_N}
+                 ELSE {SHARD_N - 1} - (r - 1) % {SHARD_N} END AS BIGINT)
+         AS shard
+FROM ranked
+"""
+
+
+SHARD_BALANCE = _shard_balance_sql()

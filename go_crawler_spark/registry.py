@@ -230,6 +230,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.q_ngram_count_of_counts,
         oracles.NGRAM_COUNT_OF_COUNTS,
     ),
+    # token-balanced output shards (serpentine folded round-robin)
+    "shard_balance": (textstats.q_shard_balance, oracles.SHARD_BALANCE),
     # ---- remaining window slots: r04-green entries touched or
     # adjacent this round (the overflow past position 50 is r04
     # driver-green with judge-local re-verification) ----

@@ -436,3 +436,43 @@ def test_ngram_count_of_counts_matches_bruteforce(spark, sf_small):
     }
     assert got == dict(nc)
     assert sum(got.values()) == len(bc)
+
+
+def test_shard_balance_matches_bruteforce(spark, sf_small):
+    """Serpentine shard assignment equals the pure-Python replay of
+    (n_tokens desc, doc_id) ranking + folded round-robin; every shard
+    receives a near-equal doc count, and the token totals balance to
+    within a small multiple of the largest document."""
+    from go_crawler_spark.functions.textstats import (
+        SHARD_N,
+        q_shard_balance,
+    )
+
+    rows = [
+        (r["doc_id"], len(r["text"].split()))
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    ranked = sorted(rows, key=lambda t: (-t[1], t[0]))
+    expect = {}
+    for r0, (did, nt) in enumerate(ranked):
+        pos = r0 % SHARD_N
+        shard = pos if (r0 // SHARD_N) % 2 == 0 else SHARD_N - 1 - pos
+        expect[did] = (nt, r0 + 1, shard)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["rank"], r["shard"])
+        for r in q_shard_balance(spark, sf_small).collect()
+    }
+    assert got == expect
+    # balance: doc counts differ by ≤1; token totals by ≤ 2·max item
+    from collections import Counter
+
+    n_by = Counter(v[2] for v in got.values())
+    tok_by: Counter = Counter()
+    for v in got.values():
+        tok_by[v[2]] += v[0]
+    assert len(n_by) == SHARD_N
+    assert max(n_by.values()) - min(n_by.values()) <= 1
+    max_item = max(v[0] for v in got.values())
+    assert max(tok_by.values()) - min(tok_by.values()) <= 2 * max_item

@@ -266,6 +266,13 @@ AUDITED = {
         ["Generate", "HashAggregate", "Exchange"],
         ["CartesianProduct", "Window", "SortMergeJoin"],
     ),
+    # shard balance: the single-task window runs on the small
+    # (n_tokens, chunk) cell table only; doc rows rank within cells
+    # and join offsets by broadcast — never a global range sort
+    "shard_balance": (
+        ["Window", "BroadcastHashJoin", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Exchange rangepartitioning"],
+    ),
     # exact-substring coverage: positional span hashes come from the
     # Arrow-batched rolling-hash kernel (MapInPandas — token text never
     # leaves the scan partition); the occurrence groupBy and the
