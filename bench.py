@@ -195,6 +195,7 @@ def main() -> None:
         "bpe_top_pairs",  # tokenizer-training first merge
         "ngram_count_of_counts",  # LM smoothing statistics
         "shard_balance",  # token-balanced output shards
+        "cocitation_pairs",  # related-page discovery from links
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

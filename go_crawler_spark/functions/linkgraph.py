@@ -488,3 +488,63 @@ def q_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src") % OPIC_DANGLE_MOD != 0
     )
     return opic_scores(docs, edges)
+
+
+# --- co-citation similarity ----------------------------------------------------
+# Related-page discovery from pure link structure (Small, JASIS 1973;
+# the "related:" operator's classic signal): two pages are similar
+# when many pages link to BOTH. Needs no content, so a frontier can
+# suggest related fetch targets before fetching either page.
+#
+# Scale shape: pairs form WITHIN each citing page's out-link list, so
+# the quadratic blowup is bounded by the out-degree cap — each citing
+# page contributes C(min(outdeg, COCIT_CAP), 2) pairs, never N².
+# The cap keeps link-farm hubs (the pages with pathological out-
+# degree) from dominating: out-links rank deterministically by dst
+# and overflow drops, same hygiene as the phash hot-bucket cap, and
+# the oracle applies the identical cap. Two shuffles: the capped
+# rank window (keyed by src) and the pair-count groupBy (keyed by
+# the (a, b) pair). Only pairs co-cited ≥ COCIT_MIN survive.
+
+COCIT_CAP = 8  # out-links per citing page that may form pairs
+COCIT_MIN = 2  # co-citation count floor for a reported pair
+
+
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, n_cocited): page pairs (a < b) co-cited by at least
+    COCIT_MIN distinct citing pages, out-links capped at COCIT_CAP
+    per citer (rank by dst, overflow dropped — deterministic)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = link_edges(docs)
+    w = Window.partitionBy("src").orderBy("dst")
+    capped = (
+        edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= COCIT_CAP)
+        .drop("rk")
+    )
+    lists = capped.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("ds")
+    )
+    pairs = lists.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ds") - 1),
+                    lambda i: F.transform(
+                        F.slice(F.col("ds"), i + 1, F.size("ds")),
+                        lambda d: F.struct(
+                            F.element_at(F.col("ds"), i).alias("a"),
+                            d.alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cocited"))
+        .filter(F.col("n_cocited") >= COCIT_MIN)
+    )

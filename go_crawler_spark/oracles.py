@@ -3280,3 +3280,47 @@ FROM ranked
 
 
 SHARD_BALANCE = _shard_balance_sql()
+
+# --- co-citation pairs ---------------------------------------------------------
+# Mirrors linkgraph.q_cocitation_pairs: LCG edges, out-links capped at
+# COCIT_CAP per citer (rank by dst), pairs within each citer's list
+# (a < b), count ≥ COCIT_MIN. The oracle forms pairs by self-join —
+# a different mechanism than the engine's within-list expansion, so
+# the hash gate checks the pair semantics, not the implementation.
+
+
+def _cocitation_pairs_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        COCIT_CAP,
+        COCIT_MIN,
+        PR_FANOUT,
+        PR_LCG_A,
+        PR_LCG_C,
+        PR_LCG_K,
+    )
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C}) % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM cand),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+    FROM edges)
+  WHERE rk <= {COCIT_CAP}),
+pairs AS (
+  SELECT x.dst AS a, y.dst AS b
+  FROM capped x JOIN capped y ON x.src = y.src AND x.dst < y.dst)
+SELECT a, b, CAST(count(*) AS BIGINT) AS n_cocited
+FROM pairs GROUP BY a, b HAVING count(*) >= {COCIT_MIN}
+"""
+
+
+COCITATION_PAIRS = _cocitation_pairs_sql()

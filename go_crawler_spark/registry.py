@@ -232,6 +232,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # token-balanced output shards (serpentine folded round-robin)
     "shard_balance": (textstats.q_shard_balance, oracles.SHARD_BALANCE),
+    # co-citation related-page pairs (capped within-citer expansion)
+    "cocitation_pairs": (
+        linkgraph.q_cocitation_pairs,
+        oracles.COCITATION_PAIRS,
+    ),
     # ---- remaining window slots: r04-green entries touched or
     # adjacent this round (the overflow past position 50 is r04
     # driver-green with judge-local re-verification) ----

@@ -476,3 +476,43 @@ def test_shard_balance_matches_bruteforce(spark, sf_small):
     assert max(n_by.values()) - min(n_by.values()) <= 1
     max_item = max(v[0] for v in got.values())
     assert max(tok_by.values()) - min(tok_by.values()) <= 2 * max_item
+
+
+def test_cocitation_pairs_matches_bruteforce(spark, sf_small):
+    """Co-citation counts equal the pure-Python replay of the capped
+    LCG edge lists; every reported pair is ordered (a < b) and its
+    count never exceeds the citing-page total."""
+    from go_crawler_spark.functions.linkgraph import (
+        COCIT_CAP,
+        COCIT_MIN,
+        q_cocitation_pairs,
+    )
+
+    doc_ids = sorted(
+        r["doc_id"]
+        for r in load(spark, sf_small, "documents").select("doc_id").collect()
+    )
+    n = len(doc_ids)
+    outlinks: dict[int, set] = {}
+    for src in doc_ids:
+        for k in range(PR_FANOUT):
+            dst = (src * PR_LCG_A + k * PR_LCG_K + PR_LCG_C) % n
+            if dst == src:
+                dst = (dst + 1) % n
+            outlinks.setdefault(src, set()).add(dst)
+    from collections import Counter
+
+    pc: Counter = Counter()
+    for src, ds in outlinks.items():
+        capped = sorted(ds)[:COCIT_CAP]
+        for i in range(len(capped)):
+            for j in range(i + 1, len(capped)):
+                pc[(capped[i], capped[j])] += 1
+    expect = {p: c for p, c in pc.items() if c >= COCIT_MIN}
+    got = {
+        (r["a"], r["b"]): r["n_cocited"]
+        for r in q_cocitation_pairs(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert got and all(a < b for a, b in got)
+    assert max(got.values()) <= len(outlinks)

@@ -273,6 +273,16 @@ AUDITED = {
         ["Window", "BroadcastHashJoin", "HashAggregate"],
         ["CartesianProduct", "SortMergeJoin", "Exchange rangepartitioning"],
     ),
+    # co-citation: pairs expand WITHIN each citer's capped out-link
+    # array (Generate over ≤ C(8,2) structs per citer — never a
+    # self-join of the edge table on the Spark side) then one
+    # pair-keyed count. The one BroadcastNestedLoopJoin is link_edges'
+    # 1-row n_nodes attach (the intended broadcast, as in the other
+    # linkgraph plans), so only true all-pairs shapes are forbidden.
+    "cocitation_pairs": (
+        ["Window", "Generate", "HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # exact-substring coverage: positional span hashes come from the
     # Arrow-batched rolling-hash kernel (MapInPandas — token text never
     # leaves the scan partition); the occurrence groupBy and the
