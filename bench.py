@@ -196,6 +196,7 @@ def main() -> None:
         "ngram_count_of_counts",  # LM smoothing statistics
         "shard_balance",  # token-balanced output shards
         "cocitation_pairs",  # related-page discovery from links
+        "winnow_fingerprints",  # MOSS window-min document sketch
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

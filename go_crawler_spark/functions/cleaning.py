@@ -666,6 +666,78 @@ def q_exact_substr_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- winnowing fingerprints ------------------------------------------------------
+# Schleimer/Wilkerson/Aiken 2003 ("Winnowing: Local Algorithms for
+# Document Fingerprinting", SIGMOD) — the MOSS selection rule: slide a
+# window of WINNOW_W consecutive k-gram hashes over each document and
+# keep the minimum hash of every window (ties → rightmost occurrence).
+# The kept (pos, h) pairs are the document's fingerprints: any shared
+# substring of at least W + K − 1 tokens is GUARANTEED to contribute at
+# least one common fingerprint (the winnowing guarantee), while expected
+# density is only 2/(W+1) of all positions — the classic bounded-size
+# robust sketch, complementing q_fingerprint (one rolling hash, no
+# locality) and q_exact_substr_coverage (exact spans, full index).
+#
+# Scale shape: k-gram hashes come off the same O(len)-per-doc
+# rolling-prefix kernel as ExactSubstr (exsub_span_rows — narrow map,
+# Arrow batches). Everything after is ONE Exchange keyed on the 8-byte
+# doc_id: the min-of-window, the full-window filter, and the dedup all
+# ride the same partitioning+sort (the dedup is a lag compare, not a
+# DISTINCT, precisely so no second shuffle is needed). Selection uses a
+# single int64 key h·2^32 + (2^32−1−pos): min(key) is min-h with
+# rightmost-pos tie-break in one aggregate (h < P31 < 2^31 ⇒ key < 2^63,
+# exact in both engines). The lag-dedup is lossless because the windows
+# that select a given (pos, h) are provably contiguous: if starts
+# s1 < s2 < s3 all contain pos and s1, s3 pick it but s2 picks a
+# smaller key at q, then q ∈ [s2, s2+W−1] lies in s3 (q > pos) or in
+# s1 (q < pos), contradicting either pick.
+# --------------------------------------------------------------------------
+
+WINNOW_W = 4  # window size in k-grams; guarantee threshold t = W+K−1 = 11
+_WINNOW_M = 1 << 32  # pos-packing radix for the single-key argmin
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint set per document: (doc_id, fp_pos, fp_hash)
+    for every window-minimum EXSUB_K-gram (rightmost-min tie-break)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    spans = exsub_span_rows(docs)
+    part = Window.partitionBy("doc_id")
+    ordered = part.orderBy("pos")
+    keyed = spans.select(
+        "doc_id",
+        "pos",
+        (
+            F.col("h") * F.lit(_WINNOW_M).cast("long")
+            + (F.lit(_WINNOW_M - 1).cast("long") - F.col("pos"))
+        ).alias("key"),
+        F.count(F.lit(1)).over(part).alias("k"),
+    )
+    mins = keyed.select(
+        "doc_id",
+        "pos",
+        "k",
+        F.min("key")
+        .over(ordered.rowsBetween(Window.currentRow, WINNOW_W - 1))
+        .alias("mk"),
+    )
+    # full windows only: starts where all W members exist; the runs of
+    # equal mk are contiguous (see module comment), so the lag compare
+    # yields exactly the distinct fingerprint set without re-shuffling
+    starts = mins.filter(F.col("pos") <= F.col("k") - WINNOW_W + 1)
+    fps = starts.withColumn("pmk", F.lag("mk").over(ordered)).filter(
+        F.col("pmk").isNull() | (F.col("pmk") != F.col("mk"))
+    )
+    m = F.lit(_WINNOW_M).cast("long")
+    return fps.select(
+        "doc_id",
+        (F.lit(_WINNOW_M - 1).cast("long") - F.col("mk") % m).alias("fp_pos"),
+        F.expr(f"mk div {_WINNOW_M}").alias("fp_hash"),
+    )
+
+
 # --- leakage-safe train/val/test split -----------------------------------------
 # Training-data governance: a row-level random split leaks — near-
 # duplicate documents (which cluster within a site) land on both sides

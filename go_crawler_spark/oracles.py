@@ -2869,6 +2869,55 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 
 EXACT_SUBSTR_COVERAGE = _exact_substr_coverage_sql()
 
+
+# --- winnowing fingerprints ----------------------------------------------------
+# Mirrors functions/cleaning.py::q_winnow_fingerprints: per-position
+# word EXSUB_K-gram poly-hashes (derived independently per position —
+# not via the engine's rolling-prefix kernel), packed argmin key
+# h·2^32 + (2^32−1−pos), min over each full WINNOW_W window, DISTINCT
+# decode. DISTINCT here ⇔ the engine's lag-dedup because equal-mk runs
+# are contiguous (cleaning.py module comment). All BIGINT — DuckDB's
+# int64 holds key < 2^63 exactly, same as Spark.
+
+
+def _winnow_fingerprints_sql() -> str:
+    from go_crawler_spark.functions.cleaning import (
+        _WINNOW_M,
+        EXSUB_K,
+        WINNOW_W,
+    )
+
+    gram = _poly_hash_sql(
+        f"array_to_string(ts[pos:pos+{EXSUB_K - 1}], ' ')"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+spans AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, {gram} AS h
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - {EXSUB_K - 1})) AS pos
+        FROM toks WHERE len(ts) >= {EXSUB_K})),
+keyed AS (
+  SELECT doc_id, pos,
+         h * {_WINNOW_M} + ({_WINNOW_M - 1} - pos) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS k
+  FROM spans),
+mins AS (
+  SELECT doc_id, pos, k,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                        AND {WINNOW_W - 1} FOLLOWING) AS mk
+  FROM keyed)
+SELECT DISTINCT doc_id,
+       CAST({_WINNOW_M - 1} - mk % {_WINNOW_M} AS BIGINT) AS fp_pos,
+       CAST(mk // {_WINNOW_M} AS BIGINT) AS fp_hash
+FROM mins WHERE pos <= k - {WINNOW_W} + 1
+"""
+
+
+WINNOW_FINGERPRINTS = _winnow_fingerprints_sql()
+
 # --- reverse image search (multi-index hamming top-k) -------------------------
 # Mirrors multimodal.q_phash_reverse_search via the same golden-rows
 # pattern as PHASH_NEARDUP: phash_reverse_golden() is the pure-Python

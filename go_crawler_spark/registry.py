@@ -76,7 +76,9 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r04-green entries rotate to the tail with one-round-old evidence
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
-# the order itself.
+# the order itself.  winnow_fingerprints, added after the window was
+# frozen, sits last (position 101) with local sf0.001/sf0.01/sf0.3
+# oracle evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -406,6 +408,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # full scraper pipeline (A14-16 + E1-E17 composed; independent-
     # derivation oracle — expected columns computed straight from doc_id)
     "job_posting_csv": (_job_posting_csv, oracles.JOB_POSTING_CSV),
+    "winnow_fingerprints": (
+        cleaning.q_winnow_fingerprints,
+        oracles.WINNOW_FINGERPRINTS,
+    ),
 }
 
 

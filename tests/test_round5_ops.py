@@ -516,3 +516,54 @@ def test_cocitation_pairs_matches_bruteforce(spark, sf_small):
     assert got == expect
     assert got and all(a < b for a, b in got)
     assert max(got.values()) <= len(outlinks)
+
+
+def test_winnow_fingerprints_matches_bruteforce(spark, sf_small):
+    """The winnowed fingerprint set equals an independent pure-Python
+    replay of the Schleimer 2003 selection rule (window min, rightmost
+    tie-break, distinct), and the winnowing guarantee holds: every
+    window of WINNOW_W k-gram positions contains >= 1 fingerprint."""
+    from go_crawler_spark.functions.cleaning import (
+        WINNOW_W,
+        q_winnow_fingerprints,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    expect: set = set()
+    pos_by_doc: dict[int, set] = {}
+    for did, text in docs.items():
+        toks = [t for t in text.strip().split() if t]
+        hs = [
+            _poly(" ".join(toks[i : i + EXSUB_K]))
+            for i in range(len(toks) - EXSUB_K + 1)
+        ]
+        for s in range(len(hs) - WINNOW_W + 1):
+            # min hash in window [s, s+W); ties -> rightmost position
+            best = max(
+                range(s, s + WINNOW_W), key=lambda i: (-hs[i], i)
+            )
+            expect.add((did, best + 1, hs[best]))
+            pos_by_doc.setdefault(did, set()).add(best + 1)
+    got = {
+        (r["doc_id"], r["fp_pos"], r["fp_hash"])
+        for r in q_winnow_fingerprints(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert got  # the corpus must actually produce fingerprints
+    # guarantee: selected positions are never more than W apart, so any
+    # shared run of >= W+K-1 tokens shares a fingerprint
+    for did, ps in pos_by_doc.items():
+        sp = sorted(ps)
+        assert all(b - a <= WINNOW_W for a, b in zip(sp, sp[1:]))
+    # density: winnowing keeps far fewer than all positions (expected
+    # 2/(W+1)); allow slack but require real compression corpus-wide
+    n_spans = sum(
+        max(0, len([t for t in txt.strip().split() if t]) - EXSUB_K + 1)
+        for txt in docs.values()
+    )
+    assert len(got) * 2 < n_spans + 2 * len(docs) * WINNOW_W

@@ -292,6 +292,21 @@ AUDITED = {
         ["MapInPandas", "HashAggregate", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # winnowing fingerprints: span hashes from the same rolling-hash
+    # kernel as exact_substr (MapInPandas — text never leaves the
+    # scan); everything after rides ONE doc_id Exchange — the count /
+    # window-min / lag-dedup are all Windows over that partitioning, so
+    # no aggregate, no join, and no second shuffle of any kind
+    "winnow_fingerprints": (
+        ["MapInPandas", "Window"],
+        [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "SortMergeJoin",
+            "HashAggregate",
+            "Exchange rangepartitioning",
+        ],
+    ),
     # reverse image search: corpus band rows get the same hot-bucket
     # Window cap as phash_neardup; the query probe is a hash equi-join
     # on (band_id, band_val); the rerank is codegen'd bit_count; the
