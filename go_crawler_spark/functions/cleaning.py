@@ -161,8 +161,14 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At 100 TB this is the final pass of the pipeline: the window and the
 # components join are the only shuffles (quality/lang/sample are narrow
 # maps fused into the same stage), and every gate is integer/boolean —
-# no float boundary anywhere. The DuckDB oracle composes the SAME
-# sub-oracles as nested CTEs, so the composition itself is hash-gated.
+# no float boundary anywhere. The exact-keeper window partitions on the
+# 8-byte ``xxhash64(text)``, computed in the same narrow projection that
+# derives lang/quality — so the corpus text itself never crosses an
+# Exchange (same discipline as ``q_boilerplate_strip``; the oracle keeps
+# PARTITION BY text, identical output absent 64-bit collisions — see
+# textstats.q_exact_dedup's collision note). The DuckDB oracle composes
+# the SAME sub-oracles as nested CTEs, so the composition itself is
+# hash-gated.
 # --------------------------------------------------------------------------
 
 QUALITY_MIN = 35  # integer 0-100 scale; exact compare, no boundary hazard
@@ -182,17 +188,26 @@ def q_corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("text")
     lang = lang_id(F.col("text"))
     rate = F.coalesce(
         *[F.when(lang == k, F.lit(v)) for k, v in TRAIN_MIX_PERMILLE.items()]
     )
-    base = docs.select(
+    # one narrow projection consumes the text: after this select only
+    # doc_id + the 8-byte hash + small derived ints ride the Exchange
+    narrow = docs.select(
         "doc_id",
+        F.xxhash64("text").alias("th"),
         lang.alias("lang_pred"),
         quality_score(F.col("text")).alias("quality"),
-        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_keeper"),
         (sample_bucket(F.col("doc_id")) < rate).alias("sampled"),
+    )
+    w = Window.partitionBy("th")
+    base = narrow.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_exact_keeper"),
+        "sampled",
     )
     comp = q_neardup_components(spark, sf_dir).select(
         "doc_id", F.col("is_canonical").alias("is_neardup_canonical")

@@ -145,10 +145,16 @@ AUDITED = {
     ),
     # composed corpus gate: the exact-dedup window (shuffle on text) and
     # the components join are the only wide ops; lang/quality/sample fuse
-    # into the same narrow stage, and nothing may nested-loop
+    # into the same narrow stage, nothing may nested-loop, and the
+    # exact-keeper window must partition on xxhash64(text) — the raw
+    # corpus text may never be an Exchange key
     "corpus_keep": (
-        ["Window", "Scan parquet"],
-        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        ["Window", "Scan parquet", "xxhash64"],
+        [
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "hashpartitioning(text",
+        ],
     ),
     # crawl→train composition: the caption-dedup window shuffles on the
     # 8-byte cap_key, the packing stage is windows + a broadcast bucket-
