@@ -197,6 +197,8 @@ def main() -> None:
         "shard_balance",  # token-balanced output shards
         "cocitation_pairs",  # related-page discovery from links
         "winnow_fingerprints",  # MOSS window-min document sketch
+        "trustrank",  # seeded anti-spam propagation (Gyöngyi 2004)
+        "containment_pairs",  # asymmetric subset-dup detection
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -548,3 +548,100 @@ def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_cocited"))
         .filter(F.col("n_cocited") >= COCIT_MIN)
     )
+
+
+# --- TrustRank ------------------------------------------------------------------
+# Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004 ("Combating Web Spam
+# with TrustRank"): PageRank's uniform teleport rewards link farms —
+# every page, spam included, receives free rank each round. TrustRank
+# replaces the teleport with a biased jump onto a small hand-vetted
+# seed set, so trust flows outward from the seeds along out-links and
+# ATTENUATES with link distance; a farm no trusted page links into
+# can only collect what leaks in through organic edges, never mint its
+# own. This completes the repo's link-analysis family: PageRank (raw
+# authority), HITS (hubs/authorities), OPIC (online importance),
+# reciprocity (structural farm flag), and now the seeded-propagation
+# spam demotion those four motivate.
+#
+# The seed set is deterministic for the oracle: doc_id % TR_SEED_MOD
+# == 1 AND NOT a planted-farm node (the vetting step — a human
+# reviewer would never bless a farm page). The edge table is the same
+# combined organic-LCG ∪ farm-ring graph as q_link_reciprocity, so the
+# planted farm exists in the walk but receives zero seed mass.
+#
+# Determinism: identical integer discipline to pagerank_ranks — trust
+# is integer mass (TR_SCALE per seed at t=0), the out-degree split and
+# the 0.85 damping go through exact wide floor-division, and the
+# teleport is a constant added only on seed rows, so both engines
+# produce bit-identical longs at any SF. Scale shape is PageRank's:
+# the edges⋈outdeg side is invariant (localCheckpointed once) and each
+# round costs exactly two shuffles over (long, long) rows — a
+# 10^10-edge graph iterates in O(TR_ITERS) shuffle rounds with one
+# long of state per node, never driver-side.
+
+TR_ITERS = 3  # fixed unrolled rounds (oracle mirrors each level)
+TR_SCALE = 1_000_000_000  # integer trust units per seed at t=0
+TR_TELEPORT = 150_000_000  # 15% re-seeded onto each seed per round
+TR_SEED_MOD = 29  # doc_id % 29 == 1 → ~3.4% of pages are vetted seeds
+
+
+def _tr_seed(doc_id: Column) -> Column:
+    """The vetted-seed predicate: a deterministic sample of the node
+    set minus every planted-farm page (vetting excludes spam)."""
+    return (doc_id % TR_SEED_MOD == 1) & (doc_id % FARM_MOD != 0)
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_seed, is_farm, trust) after TR_ITERS seeded damped
+    propagation rounds over the combined organic ∪ farm-ring graph.
+    Farm pages appear with the trust that organically leaks into them
+    — the demotion signal a frontier would ORDER BY alongside pr."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nodes = docs.select("doc_id", _tr_seed(F.col("doc_id")).alias("is_seed"))
+    edges = (
+        link_edges(docs)
+        .select("src", "dst")
+        .unionByName(farm_edges(docs))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    # invariant across rounds — computed once, reused by every level
+    edeg = edges.join(outdeg, "src").localCheckpoint(eager=False)
+    trust = nodes.select(
+        "doc_id",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(TR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust"),
+    )
+    for _ in range(TR_ITERS):
+        contrib = edeg.join(
+            trust.select(F.col("doc_id").alias("src"), "trust"), "src"
+        ).select("dst", _wide_floordiv(F.col("trust"), F.col("outdeg")).alias("c"))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        trust = (
+            nodes.join(sums.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_seed",
+                (
+                    _mul_floordiv_wide(
+                        F.coalesce(F.col("s"), F.lit(0).cast("long")),
+                        F.lit(85).cast("long"),
+                        F.lit(100).cast("long"),
+                    )
+                    + F.when(F.col("is_seed"), F.lit(TR_TELEPORT))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                ).alias("trust"),
+            )
+        )
+    return trust.select(
+        "doc_id",
+        "is_seed",
+        (F.col("doc_id") % FARM_MOD == 0).alias("is_farm"),
+        "trust",
+    )

@@ -1196,3 +1196,73 @@ def q_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rer.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
         F.col("rank") <= MRL_TOPK
     )
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric near-dup) — Broder 1997 ("On the resemblance
+# and containment of documents") defines BOTH resemblance (Jaccard,
+# which the minhash/neardup family estimates) and containment
+# C(A,B) = |S(A) ∩ S(B)| / |S(A)|: the fraction of A's shingles that
+# appear in B. Resemblance misses the quote/subset duplication class —
+# a short doc wholly embedded in a long one has high containment but
+# low Jaccard (the union is dominated by the long doc) — and that
+# class matters for training data: boilerplate-wrapped article copies,
+# quoted posts, syndicated excerpts.
+#
+# Scale shape: the pair set is the SAME capped LSH candidate table as
+# every other near-dup op (hot-bucket hygiene included), so the
+# verify step is two doc_id equi-joins attaching the distinct-shingle
+# arrays to candidate rows only — the corpus never goes all-pairs and
+# the arrays only shuffle for candidate docs. The containment itself
+# is integer ppm via exact floor-division: no float boundary in
+# either engine.
+# --------------------------------------------------------------------------
+
+CONTAIN_PPM_THRESH = 800_000  # ≥80% of one side's shingles inside the other
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per LSH candidate pair: distinct 3-gram shingle counts, the
+    common-shingle count, containment of each side in the other
+    (exact integer ppm), and the subset-dup flag Jaccard can't raise."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    cand = q_minhash_lsh_candidates(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingle_hashes(F.col("text")).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    counted = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size("sh_a").cast("long").alias("n_sh_a"),
+            F.size("sh_b").cast("long").alias("n_sh_b"),
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            .cast("long")
+            .alias("n_common"),
+        )
+    )
+    ppm = F.lit(1_000_000).cast("long")
+
+    def contain(n_side: str) -> Column:
+        return F.when(
+            F.col(n_side) > 0,
+            _floordiv(F.col("n_common") * ppm, F.col(n_side)),
+        ).otherwise(F.lit(0).cast("long"))
+
+    return counted.select(
+        "doc_a",
+        "doc_b",
+        "n_sh_a",
+        "n_sh_b",
+        "n_common",
+        contain("n_sh_a").alias("contain_a_ppm"),
+        contain("n_sh_b").alias("contain_b_ppm"),
+        (
+            F.greatest(contain("n_sh_a"), contain("n_sh_b"))
+            >= CONTAIN_PPM_THRESH
+        ).alias("subset_flag"),
+    )

@@ -3373,3 +3373,147 @@ FROM pairs GROUP BY a, b HAVING count(*) >= {COCIT_MIN}
 
 
 COCITATION_PAIRS = _cocitation_pairs_sql()
+
+
+# --- TrustRank ---------------------------------------------------------------
+# Mirrors linkgraph.q_trustrank: same combined organic-LCG ∪ farm-ring
+# edge synthesis as LINK_RECIPROCITY, the deterministic vetted-seed
+# predicate (doc_id % TR_SEED_MOD == 1 and not a farm node), then
+# TR_ITERS unrolled seeded-propagation levels with the identical
+# integer discipline as LINK_PAGERANK (HUGEINT // for the out-degree
+# split and the 85/100 damping; the teleport lands on seed rows only).
+
+
+def _trustrank_levels_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import TR_ITERS, TR_TELEPORT
+
+    parts = []
+    prev = "t0"
+    for i in range(1, TR_ITERS + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.dst AS doc_id,
+         SUM(CAST(CAST(t.trust AS HUGEINT) // od.outdeg AS BIGINT)) AS s
+  FROM {prev} t
+  JOIN edges e ON e.src = t.doc_id
+  JOIN outdeg od ON od.src = e.src
+  GROUP BY e.dst),
+t{i} AS (
+  SELECT sd.doc_id,
+         CAST(CAST(CAST(COALESCE(s{i}.s, 0) AS HUGEINT) * 85 // 100 AS BIGINT)
+              + CASE WHEN sd.is_seed THEN {TR_TELEPORT} ELSE 0 END
+           AS BIGINT) AS trust
+  FROM seeds sd LEFT JOIN s{i} ON s{i}.doc_id = sd.doc_id)"""
+        )
+        prev = f"t{i}"
+    return ",\n".join(parts)
+
+
+def _trustrank_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        FARM_LINKS,
+        FARM_MOD,
+        PR_FANOUT,
+        PR_LCG_A,
+        PR_LCG_C,
+        PR_LCG_K,
+        TR_ITERS,
+        TR_SCALE,
+        TR_SEED_MOD,
+    )
+
+    deltas = ", ".join(
+        str(d) for k in range(1, FARM_LINKS + 1) for d in (k, -k)
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n_nodes FROM documents),
+cand AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C})
+           % n.n_nodes AS dst0,
+         n.n_nodes AS n_nodes
+  FROM documents d, n, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+lcg_edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n_nodes ELSE dst0 END AS dst
+  FROM cand),
+farm AS (SELECT doc_id AS src FROM documents WHERE doc_id % {FARM_MOD} = 0),
+fstats AS (SELECT min(src) AS mn, CAST(count(*) AS BIGINT) AS m FROM farm),
+farm_e AS (
+  SELECT f.src,
+         s.mn + {FARM_MOD} * (((f.src - s.mn) // {FARM_MOD} + u.d + s.m) % s.m)
+           AS dst
+  FROM farm f CROSS JOIN fstats s,
+       unnest(ARRAY[{deltas}]) AS u(d)
+  WHERE s.m > {2 * FARM_LINKS}),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM lcg_edges UNION ALL SELECT src, dst FROM farm_e)),
+outdeg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY 1),
+seeds AS (
+  SELECT doc_id,
+         (doc_id % {TR_SEED_MOD} = 1 AND doc_id % {FARM_MOD} <> 0) AS is_seed
+  FROM documents),
+t0 AS (
+  SELECT doc_id, is_seed,
+         CAST(CASE WHEN is_seed THEN {TR_SCALE} ELSE 0 END AS BIGINT) AS trust
+  FROM seeds),
+{_trustrank_levels_sql()}
+SELECT sd.doc_id, sd.is_seed,
+       (sd.doc_id % {FARM_MOD} = 0) AS is_farm,
+       t.trust
+FROM t{TR_ITERS} t JOIN seeds sd USING (doc_id)
+"""
+
+
+TRUSTRANK = _trustrank_sql()
+
+
+# --- containment (asymmetric near-dup) -----------------------------------------
+# Mirrors similarity.q_containment_pairs: the shared capped-LSH
+# candidate CTEs (identical hot-bucket cap, so this oracle can never
+# drift from the candidate/components oracles), distinct 3-gram
+# shingle lists in the NEARDUP_COMPONENTS shc form, then integer-ppm
+# containment per side (DuckDB // mirrors the engine's exact
+# floor-division; zero-shingle sides pin to 0).
+
+
+def _containment_pairs_sql() -> str:
+    from go_crawler_spark.functions.similarity import CONTAIN_PPM_THRESH
+
+    return f"""
+WITH {_MINHASH_CAND_CTES},
+stoks AS (
+  SELECT doc_id, {_TOK} AS ts FROM documents),
+shc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(ts) - 2 > 0
+                THEN list_transform(generate_series(1, len(ts) - 2),
+                                    i -> array_to_string(ts[i:i+2], ' '))
+                ELSE [] END,
+           s -> {_poly_hash_sql('s')})) AS hs3
+  FROM stoks),
+counted AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(a.hs3) AS BIGINT) AS n_sh_a,
+         CAST(len(b.hs3) AS BIGINT) AS n_sh_b,
+         CAST(len(list_intersect(a.hs3, b.hs3)) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN shc a ON a.doc_id = c.doc_a
+  JOIN shc b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, n_sh_a, n_sh_b, n_common,
+       CAST(CASE WHEN n_sh_a > 0 THEN n_common * 1000000 // n_sh_a
+                 ELSE 0 END AS BIGINT) AS contain_a_ppm,
+       CAST(CASE WHEN n_sh_b > 0 THEN n_common * 1000000 // n_sh_b
+                 ELSE 0 END AS BIGINT) AS contain_b_ppm,
+       greatest(CASE WHEN n_sh_a > 0 THEN n_common * 1000000 // n_sh_a
+                     ELSE 0 END,
+                CASE WHEN n_sh_b > 0 THEN n_common * 1000000 // n_sh_b
+                     ELSE 0 END) >= {CONTAIN_PPM_THRESH} AS subset_flag
+FROM counted
+"""
+
+
+CONTAINMENT_PAIRS = _containment_pairs_sql()

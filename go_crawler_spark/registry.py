@@ -76,9 +76,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r04-green entries rotate to the tail with one-round-old evidence
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
-# the order itself.  winnow_fingerprints, added after the window was
-# frozen, sits last (position 101) with local sf0.001/sf0.01/sf0.3
-# oracle evidence.
+# the order itself.  winnow_fingerprints, trustrank, and
+# containment_pairs, added after the window was frozen, sit last
+# (positions 101-103) with local sf0.001/sf0.01/sf0.3 oracle
+# evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -411,6 +412,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "winnow_fingerprints": (
         cleaning.q_winnow_fingerprints,
         oracles.WINNOW_FINGERPRINTS,
+    ),
+    "trustrank": (linkgraph.q_trustrank, oracles.TRUSTRANK),
+    "containment_pairs": (
+        similarity.q_containment_pairs,
+        oracles.CONTAINMENT_PAIRS,
     ),
 }
 

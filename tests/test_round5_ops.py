@@ -567,3 +567,148 @@ def test_winnow_fingerprints_matches_bruteforce(spark, sf_small):
         for txt in docs.values()
     )
     assert len(got) * 2 < n_spans + 2 * len(docs) * WINNOW_W
+
+
+def test_trustrank_matches_bruteforce(spark, sf_small):
+    """Engine TrustRank equals an independent pure-Python replay of the
+    seeded integer propagation (Python ints are exact — no wide-div
+    helper shared with the engine), and the demotion semantics hold:
+    seeds are never farm pages, and the planted farm's mean trust sits
+    below the seed mean (farms only collect organic leak-in)."""
+    from go_crawler_spark.functions.linkgraph import (
+        FARM_MOD,
+        TR_ITERS,
+        TR_SCALE,
+        TR_SEED_MOD,
+        TR_TELEPORT,
+        farm_edges,
+        link_edges,
+        q_trustrank,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    nodes = [r["doc_id"] for r in docs.collect()]
+    edges = {
+        (r["src"], r["dst"])
+        for r in link_edges(docs).select("src", "dst").collect()
+    } | {(r["src"], r["dst"]) for r in farm_edges(docs).collect()}
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    seed = {
+        v: (v % TR_SEED_MOD == 1 and v % FARM_MOD != 0) for v in nodes
+    }
+    trust = {v: TR_SCALE if seed[v] else 0 for v in nodes}
+    for _ in range(TR_ITERS):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += trust[s] // outdeg[s]
+        trust = {
+            v: inflow[v] * 85 // 100 + (TR_TELEPORT if seed[v] else 0)
+            for v in nodes
+        }
+    expect = {
+        v: (seed[v], v % FARM_MOD == 0, trust[v]) for v in nodes
+    }
+    got = {
+        r["doc_id"]: (r["is_seed"], r["is_farm"], r["trust"])
+        for r in q_trustrank(spark, sf_small).collect()
+    }
+    assert got == expect
+    seeds = [v for v in nodes if seed[v]]
+    farm = [v for v in nodes if v % FARM_MOD == 0]
+    assert seeds and farm
+    assert not any(seed[v] for v in farm)  # vetting excludes the farm
+    mean_seed = sum(trust[v] for v in seeds) // len(seeds)
+    mean_farm = sum(trust[v] for v in farm) // len(farm)
+    assert mean_farm < mean_seed
+
+
+def test_containment_pairs_matches_bruteforce(spark, sf_small):
+    """Containment columns equal a pure-Python replay over the pinned
+    LSH candidate pair set (candidate generation is pinned by its own
+    oracle/tests; the new logic under test is the containment math),
+    plus the Broder bounds: n_common <= min(|A|,|B|), ppm in [0, 1e6],
+    flag <=> max side containment >= threshold."""
+    from go_crawler_spark.functions.similarity import (
+        CONTAIN_PPM_THRESH,
+        q_containment_pairs,
+        q_minhash_lsh_candidates,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def sh3(text: str) -> set:
+        toks = [t for t in text.strip().split() if t]
+        return {
+            _poly(" ".join(toks[i : i + 3])) for i in range(len(toks) - 2)
+        }
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_lsh_candidates(spark, sf_small).collect()
+    }
+    assert pairs
+    expect = {}
+    for a, b in pairs:
+        sa, sb = sh3(texts[a]), sh3(texts[b])
+        common = len(sa & sb)
+        ca = common * 1_000_000 // len(sa) if sa else 0
+        cb = common * 1_000_000 // len(sb) if sb else 0
+        expect[(a, b)] = (
+            len(sa), len(sb), common, ca, cb,
+            max(ca, cb) >= CONTAIN_PPM_THRESH,
+        )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_sh_a"], r["n_sh_b"], r["n_common"],
+            r["contain_a_ppm"], r["contain_b_ppm"], r["subset_flag"],
+        )
+        for r in q_containment_pairs(spark, sf_small).collect()
+    }
+    assert got == expect
+    for na, nb, common, ca, cb, _flag in got.values():
+        assert common <= min(na, nb)
+        assert 0 <= ca <= 1_000_000 and 0 <= cb <= 1_000_000
+
+
+def test_containment_flags_subset_jaccard_misses(spark):
+    """The semantic point of containment: a short doc wholly embedded in
+    a long one reaches 1e6 ppm containment (flagged) while its Jaccard
+    stays below the near-dup resemblance threshold."""
+    from go_crawler_spark.functions.similarity import (
+        CONTAIN_PPM_THRESH,
+        jaccard,
+        shingle_hashes,
+    )
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " " + " ".join(f"filler{i} word{i} pad{i}" for i in range(40))
+    df = spark.createDataFrame([(quote, host)], "a string, b string")
+    row = df.select(
+        F.size(shingle_hashes(F.col("a"))).cast("long").alias("n_a"),
+        F.size(
+            F.array_intersect(
+                shingle_hashes(F.col("a")), shingle_hashes(F.col("b"))
+            )
+        )
+        .cast("long")
+        .alias("n_common"),
+        jaccard(shingle_hashes(F.col("a")), shingle_hashes(F.col("b"))).alias(
+            "jac"
+        ),
+    ).select(
+        "n_a",
+        "n_common",
+        "jac",
+        _floordiv(F.col("n_common") * 1_000_000, F.col("n_a")).alias("ca"),
+    ).collect()[0]
+    assert row["ca"] == 1_000_000  # every quote shingle is in the host
+    assert row["ca"] >= CONTAIN_PPM_THRESH
+    assert row["jac"] < 0.1  # resemblance misses this duplication class

@@ -313,6 +313,21 @@ AUDITED = {
             "Exchange rangepartitioning",
         ],
     ),
+    # TrustRank: PageRank's plan shape — per-round trust attach + dst
+    # aggregation are long-keyed equi-joins/aggregates over the
+    # combined organic+farm edge table; the only NLJ-ish pieces are
+    # the 1-row n_nodes/fstats broadcasts. No all-pairs product.
+    "trustrank": (
+        ["HashAggregate", "Exchange"],
+        ["CartesianProduct"],
+    ),
+    # containment: the capped-LSH candidate equi-join (band kernel +
+    # hot-bucket Window) plus two doc_id equi-joins attaching shingle
+    # arrays to candidate rows — never an all-pairs product
+    "containment_pairs": (
+        ["MapInPandas", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # reverse image search: corpus band rows get the same hot-bucket
     # Window cap as phash_neardup; the query probe is a hash equi-join
     # on (band_id, band_val); the rerank is codegen'd bit_count; the
