@@ -199,6 +199,8 @@ def main() -> None:
         "winnow_fingerprints",  # MOSS window-min document sketch
         "trustrank",  # seeded anti-spam propagation (Gyöngyi 2004)
         "containment_pairs",  # asymmetric subset-dup detection
+        "host_graph_rank",  # uncrawled-URL priority via host supergraph
+        "focused_frontier",  # pre-fetch topical priority (Chakrabarti)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

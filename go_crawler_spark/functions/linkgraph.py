@@ -645,3 +645,117 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % FARM_MOD == 0).alias("is_farm"),
         "trust",
     )
+
+
+# --- host-graph rank --------------------------------------------------------------
+# Eiron, McCurley & Tomlin, WWW 2004 ("Ranking the Web Frontier"):
+# most of a crawl's frontier is UNCRAWLED, so page-level PageRank
+# can't score it — but every pending URL has a host, and rank computed
+# on the host supergraph (hosts as nodes, inter-host links as edges)
+# transfers to unseen pages on known hosts. This is the frontier-
+# priority signal the page-level q_link_pagerank cannot provide for
+# never-fetched URLs, and the host graph is ~3 orders of magnitude
+# smaller than the page graph, so the iteration cost collapses.
+#
+# The page→host map is a contiguous block assignment (doc_id //
+# HOST_BLOCK — both engines floor-divide exactly); host edges are the
+# LCG page edges contracted to host pairs with intra-host links
+# dropped (Eiron et al. discard self-edges: they carry no inter-site
+# endorsement). The rank itself is the repo's integer-exact PageRank
+# (pagerank_ranks) run unchanged on the contracted graph — same
+# 2-shuffles-per-round shape, but over host-cardinality rows.
+
+HOST_BLOCK = 50  # pages per synthetic host (doc_id // 50 → host_id)
+
+
+def q_host_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_id, n_pages, pr) after PR_ITERS integer PageRank rounds
+    over the contracted host supergraph — the priority a frontier
+    assigns to an uncrawled URL via its host."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    block = F.lit(HOST_BLOCK).cast("long")
+    hosts = (
+        docs.select(_floordiv(F.col("doc_id"), block).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"))
+    )
+    hedges = (
+        link_edges(docs)
+        .select(
+            _floordiv(F.col("src"), block).alias("src"),
+            _floordiv(F.col("dst"), block).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank_ranks(hosts.select("doc_id"), hedges)
+    return (
+        hosts.join(ranks, "doc_id")
+        .select(F.col("doc_id").alias("host_id"), "n_pages", "pr")
+    )
+
+
+# --- focused-crawl frontier scoring ----------------------------------------------
+# Chakrabarti, van den Berg & Dom, WWW 1999 ("Focused crawling: a new
+# approach to topic-specific Web resource discovery"): a focused
+# crawler prioritizes frontier URLs by topical evidence available
+# BEFORE the fetch — the relevance of the pages that link to them
+# (the classifier signal) and of the anchor text on those links (the
+# link-local signal). Both are per-inbound-edge signals aggregated at
+# the target, so the operator is one map-side derivation plus one
+# partial-aggregated groupBy(dst) — a single shuffle keyed on the
+# 8-byte target id at any graph size.
+#
+# Synthesis: the shared LCG edge table; anchor class src % ANCHOR_MOD
+# (as in q_anchor_text_topk) with classes < FOCUS_TOPIC_ANCHORS
+# on-topic; parent pages with src % FOCUS_PAGE_MOD < FOCUS_PAGE_TOPICAL
+# topical (a stand-in for the parent classifier verdict). The priority
+# blends the two at 60/40 per Chakrabarti's hard-focus emphasis on
+# link-local evidence, normalized by in-degree, in exact integer ppm
+# (wide multiply — no int64 overflow at any in-degree, ADVICE-r4
+# discipline).
+
+FOCUS_TOPIC_ANCHORS = 3  # anchor classes 0-2 of ANCHOR_MOD are on-topic
+FOCUS_PAGE_MOD = 5
+FOCUS_PAGE_TOPICAL = 2  # src % 5 in {0,1} → parent classifier says topical
+FOCUS_W_ANCHOR = 6  # 60% weight on the anchor signal ...
+FOCUS_W_PARENT = 4  # ... 40% on the parent-page signal (×100000 → ppm)
+FOCUS_PRIORITY_MIN = 300_000  # dequeue-next gate
+
+
+def q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dst, n_inlinks, n_topic_anchors, n_topic_parents, priority_ppm,
+    crawl_next) — the focused-crawl dequeue score for every link
+    target, from inbound-edge evidence only (no fetch needed)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = link_edges(docs)
+    scored = edges.select(
+        "dst",
+        (F.col("src") % ANCHOR_MOD < FOCUS_TOPIC_ANCHORS)
+        .cast("long")
+        .alias("topic_anchor"),
+        (F.col("src") % FOCUS_PAGE_MOD < FOCUS_PAGE_TOPICAL)
+        .cast("long")
+        .alias("topic_parent"),
+    )
+    agg = scored.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+        F.sum("topic_anchor").cast("long").alias("n_topic_anchors"),
+        F.sum("topic_parent").cast("long").alias("n_topic_parents"),
+    )
+    prio = _mul_floordiv_wide(
+        F.col("n_topic_anchors") * FOCUS_W_ANCHOR
+        + F.col("n_topic_parents") * FOCUS_W_PARENT,
+        F.lit(100_000).cast("long"),
+        F.col("n_inlinks"),
+    )
+    return agg.select(
+        "dst",
+        "n_inlinks",
+        "n_topic_anchors",
+        "n_topic_parents",
+        prio.alias("priority_ppm"),
+        (prio >= FOCUS_PRIORITY_MIN).alias("crawl_next"),
+    )

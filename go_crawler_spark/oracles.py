@@ -211,7 +211,11 @@ FROM clicks c JOIN wins w
 # iteration level reproduces bit-identical BIGINT ranks.
 
 
-def _pagerank_levels_sql() -> str:
+def _pagerank_levels_sql(nodes: str = "documents") -> str:
+    """Unrolled damped-update CTE levels over a node table named
+    ``nodes`` and edge CTEs named ``edges``/``outdeg`` — shared by the
+    page-level LINK_PAGERANK and the contracted HOST_GRAPH_RANK so the
+    two oracles can never drift on the rank recurrence itself."""
     from go_crawler_spark.functions.linkgraph import PR_ITERS, PR_TELEPORT
 
     parts = []
@@ -230,7 +234,7 @@ r{i} AS (
          CAST({PR_TELEPORT}
               + CAST(CAST(COALESCE(s{i}.s, 0) AS HUGEINT) * 85 // 100 AS BIGINT)
            AS BIGINT) AS pr
-  FROM documents d LEFT JOIN s{i} ON s{i}.doc_id = d.doc_id)"""
+  FROM {nodes} d LEFT JOIN s{i} ON s{i}.doc_id = d.doc_id)"""
         )
         prev = f"r{i}"
     return ",\n".join(parts)
@@ -3517,3 +3521,106 @@ FROM counted
 
 
 CONTAINMENT_PAIRS = _containment_pairs_sql()
+
+
+# --- host-graph rank ------------------------------------------------------------
+# Mirrors linkgraph.q_host_graph_rank (Eiron, McCurley & Tomlin, WWW
+# 2004): the page LCG edges contracted to host pairs (doc_id //
+# HOST_BLOCK — BIGINT // floor-division, exact in both engines),
+# intra-host edges dropped, then the SAME unrolled integer-PageRank
+# levels as LINK_PAGERANK run over the host node set — the shared
+# _pagerank_levels_sql builder guarantees the recurrence is
+# bit-identical between the two rank oracles.
+
+
+def _host_graph_rank_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        HOST_BLOCK,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+pcand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C})
+           % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+pedges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM pcand),
+hosts AS (
+  SELECT CAST(doc_id // {HOST_BLOCK} AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY 1),
+edges AS (
+  SELECT DISTINCT CAST(src // {HOST_BLOCK} AS BIGINT) AS src,
+                  CAST(dst // {HOST_BLOCK} AS BIGINT) AS dst
+  FROM pedges
+  WHERE src // {HOST_BLOCK} <> dst // {HOST_BLOCK}),
+outdeg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM hosts),
+{_pagerank_levels_sql(nodes="hosts")}
+SELECT h.doc_id AS host_id, h.n_pages, r.pr
+FROM r{PR_ITERS} r JOIN hosts h ON h.doc_id = r.doc_id
+"""
+
+
+HOST_GRAPH_RANK = _host_graph_rank_sql()
+
+
+# --- focused-crawl frontier scoring ---------------------------------------------
+# Mirrors linkgraph.q_focused_frontier (Chakrabarti, van den Berg &
+# Dom, WWW 1999): the shared LCG edge synthesis, per-target counts of
+# on-topic anchors (src % ANCHOR_MOD) and topical parents (src %
+# FOCUS_PAGE_MOD), then the 60/40 blended priority in exact integer
+# ppm — HUGEINT * 100000 // n_inlinks mirrors the engine's
+# DECIMAL(38,0) wide multiply, so no in-degree can overflow either
+# engine.
+
+
+def _focused_frontier_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        FOCUS_PAGE_MOD,
+        FOCUS_PAGE_TOPICAL,
+        FOCUS_PRIORITY_MIN,
+        FOCUS_TOPIC_ANCHORS,
+        FOCUS_W_ANCHOR,
+        FOCUS_W_PARENT,
+    )
+
+    blend = (
+        f"CAST(n_topic_anchors * {FOCUS_W_ANCHOR} "
+        f"+ n_topic_parents * {FOCUS_W_PARENT} AS HUGEINT) "
+        f"* 100000 // n_inlinks"
+    )
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C})
+           % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM cand),
+agg AS (
+  SELECT dst,
+         CAST(count(*) AS BIGINT) AS n_inlinks,
+         CAST(sum(CASE WHEN src % {ANCHOR_MOD} < {FOCUS_TOPIC_ANCHORS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_topic_anchors,
+         CAST(sum(CASE WHEN src % {FOCUS_PAGE_MOD} < {FOCUS_PAGE_TOPICAL}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_topic_parents
+  FROM edges GROUP BY dst)
+SELECT dst, n_inlinks, n_topic_anchors, n_topic_parents,
+       CAST({blend} AS BIGINT) AS priority_ppm,
+       {blend} >= {FOCUS_PRIORITY_MIN} AS crawl_next
+FROM agg
+"""
+
+
+FOCUSED_FRONTIER = _focused_frontier_sql()

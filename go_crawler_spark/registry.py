@@ -76,10 +76,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r04-green entries rotate to the tail with one-round-old evidence
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
-# the order itself.  winnow_fingerprints, trustrank, and
-# containment_pairs, added after the window was frozen, sit last
-# (positions 101-103) with local sf0.001/sf0.01/sf0.3 oracle
-# evidence.
+# the order itself.  winnow_fingerprints, trustrank,
+# containment_pairs, host_graph_rank, and focused_frontier, added
+# after the window was frozen, sit last (positions 101-105) with
+# local sf0.001/sf0.01/sf0.3 oracle evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -417,6 +417,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "containment_pairs": (
         similarity.q_containment_pairs,
         oracles.CONTAINMENT_PAIRS,
+    ),
+    "host_graph_rank": (linkgraph.q_host_graph_rank, oracles.HOST_GRAPH_RANK),
+    "focused_frontier": (
+        linkgraph.q_focused_frontier,
+        oracles.FOCUSED_FRONTIER,
     ),
 }
 

@@ -712,3 +712,93 @@ def test_containment_flags_subset_jaccard_misses(spark):
     assert row["ca"] == 1_000_000  # every quote shingle is in the host
     assert row["ca"] >= CONTAIN_PPM_THRESH
     assert row["jac"] < 0.1  # resemblance misses this duplication class
+
+
+def test_host_graph_rank_matches_bruteforce(spark, sf_small):
+    """Host-supergraph rank equals a pure-Python integer replay of the
+    contraction + damped propagation (exact ints, no shared helpers),
+    every host keeps a rank row (uncrawled-URL priority needs one even
+    for sink hosts), and intra-host edges contribute nothing."""
+    from go_crawler_spark.functions.linkgraph import (
+        HOST_BLOCK,
+        PR_ITERS,
+        PR_SCALE,
+        PR_TELEPORT,
+        link_edges,
+        q_host_graph_rank,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    pages = [r["doc_id"] for r in docs.collect()]
+    n_pages: dict[int, int] = {}
+    for p in pages:
+        n_pages[p // HOST_BLOCK] = n_pages.get(p // HOST_BLOCK, 0) + 1
+    hedges = {
+        (r["src"] // HOST_BLOCK, r["dst"] // HOST_BLOCK)
+        for r in link_edges(docs).select("src", "dst").collect()
+        if r["src"] // HOST_BLOCK != r["dst"] // HOST_BLOCK
+    }
+    outdeg: dict[int, int] = {}
+    for s, _ in hedges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {h: PR_SCALE for h in n_pages}
+    for _ in range(PR_ITERS):
+        inflow = {h: 0 for h in n_pages}
+        for s, d in hedges:
+            inflow[d] += pr[s] // outdeg[s]
+        pr = {h: PR_TELEPORT + inflow[h] * 85 // 100 for h in n_pages}
+    got = {
+        r["host_id"]: (r["n_pages"], r["pr"])
+        for r in q_host_graph_rank(spark, sf_small).collect()
+    }
+    assert got == {h: (n_pages[h], pr[h]) for h in n_pages}
+    # the contraction really shrank the iteration domain
+    assert len(n_pages) < len(pages)
+
+
+def test_focused_frontier_matches_bruteforce(spark, sf_small):
+    """Focused-crawl priority equals a pure-Python replay of the
+    per-target inbound-evidence aggregation, and the blend is bounded:
+    priority_ppm is in [0, 1e6] (weights sum to 10, scale 1e5), with
+    the gate exactly prio >= FOCUS_PRIORITY_MIN."""
+    from go_crawler_spark.functions.linkgraph import (
+        ANCHOR_MOD,
+        FOCUS_PAGE_MOD,
+        FOCUS_PAGE_TOPICAL,
+        FOCUS_PRIORITY_MIN,
+        FOCUS_TOPIC_ANCHORS,
+        FOCUS_W_ANCHOR,
+        FOCUS_W_PARENT,
+        link_edges,
+        q_focused_frontier,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    edges = [
+        (r["src"], r["dst"])
+        for r in link_edges(docs).select("src", "dst").collect()
+    ]
+    agg: dict[int, list[int]] = {}
+    for s, d in edges:
+        row = agg.setdefault(d, [0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if s % ANCHOR_MOD < FOCUS_TOPIC_ANCHORS else 0
+        row[2] += 1 if s % FOCUS_PAGE_MOD < FOCUS_PAGE_TOPICAL else 0
+    expect = {}
+    for d, (n_in, na, npar) in agg.items():
+        prio = (na * FOCUS_W_ANCHOR + npar * FOCUS_W_PARENT) * 100_000 // n_in
+        expect[d] = (n_in, na, npar, prio, prio >= FOCUS_PRIORITY_MIN)
+    got = {
+        r["dst"]: (
+            r["n_inlinks"],
+            r["n_topic_anchors"],
+            r["n_topic_parents"],
+            r["priority_ppm"],
+            r["crawl_next"],
+        )
+        for r in q_focused_frontier(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert all(0 <= v[3] <= 1_000_000 for v in got.values())
+    assert any(v[4] for v in got.values())
+    assert not all(v[4] for v in got.values())

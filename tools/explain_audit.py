@@ -328,6 +328,23 @@ AUDITED = {
         ["MapInPandas", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # host-graph rank: PageRank's plan shape run over the contracted
+    # host node set — per-round rank attach + dst aggregation are
+    # long-keyed equi-joins/aggregates; the contraction itself is a
+    # narrow floor-division projection (no extra shuffle beyond the
+    # host-distinct). Only the 1-row n_nodes broadcast is NLJ-ish.
+    "host_graph_rank": (
+        ["HashAggregate", "Exchange"],
+        ["CartesianProduct"],
+    ),
+    # focused frontier: one map-side per-edge derivation + one
+    # partial-aggregated groupBy(dst) — a single long-keyed Exchange;
+    # no row-level join may appear (the n_nodes attach is the 1-row
+    # broadcast, as in pagerank).
+    "focused_frontier": (
+        ["HashAggregate", "Exchange"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
     # reverse image search: corpus band rows get the same hot-bucket
     # Window cap as phash_neardup; the query probe is a hash equi-join
     # on (band_id, band_val); the rerank is codegen'd bit_count; the
