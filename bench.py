@@ -201,6 +201,7 @@ def main() -> None:
         "containment_pairs",  # asymmetric subset-dup detection
         "host_graph_rank",  # uncrawled-URL priority via host supergraph
         "focused_frontier",  # pre-fetch topical priority (Chakrabarti)
+        "mirror_hosts",  # replicated-host detection (Bharat-Broder)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -1266,3 +1266,116 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= CONTAIN_PPM_THRESH
         ).alias("subset_flag"),
     )
+
+
+# --- mirror-host detection --------------------------------------------------------
+# Bharat & Broder, WWW 1999 ("Mirror, mirror on the Web: a study of
+# host pairs with replicated content"): mirrored hosts serve the same
+# page set under different names, so a crawler that detects them
+# fetches one copy and maps the rest — at their measured ~10% mirrored
+# share of the web, the single largest fetch-budget saving available
+# before any per-page dedup. Their method compares hosts by SAMPLED
+# page fingerprints, never full content: each host is reduced to a
+# bottom-k sketch of its page fingerprints, candidate host pairs come
+# from an inverted fingerprint→host index (only hosts that SHARE a
+# sampled fingerprint are ever paired), and the resemblance estimate
+# is the shared-sample fraction.
+#
+# Scale shape: the sketch bounds per-host state to MIRROR_SKETCH_K
+# rows regardless of host size; the candidate join is an 8-byte-fp
+# equi-join over (#hosts × K) rows — never a host×host product and
+# never the corpus — and a degenerate fingerprint shared by more than
+# MIRROR_FP_CAP hosts is dropped before pairing (the phash/LSH
+# hot-bucket discipline; a fp that common identifies boilerplate, not
+# a mirror).
+#
+# Synthesis (the corpus plants no cross-host duplicates): hosts are
+# the doc_id // HOST_BLOCK blocks; every host with host % MIRROR_MOD
+# == 1 mirrors its predecessor — its page fingerprints replay the
+# predecessor's pages at the same offsets. Fingerprints reduce the
+# source doc_id below MIRROR_FP_P before the multiply (ADVICE-r4
+# discipline: (k % P) * A % P keeps every product < 5e13 in both
+# engines at any SF).
+
+MIRROR_MOD = 7  # hosts ≡ 1 (mod 7) mirror host-1
+MIRROR_FP_A = 48271
+MIRROR_FP_P = 1_000_000_007
+MIRROR_SKETCH_K = 8  # bottom-k page fingerprints kept per host
+MIRROR_FP_CAP = 16  # fps shared by more hosts are boilerplate, dropped
+MIRROR_PPM_MIN = 800_000  # shared-sample fraction declaring a mirror
+
+
+def mirror_page_fps(docs: DataFrame) -> DataFrame:
+    """Distinct (host, fp) page-fingerprint rows with the planted
+    mirror structure: host ≡ 1 (mod MIRROR_MOD) replays host-1's
+    pages. One narrow projection — nothing shuffles until distinct."""
+    from go_crawler_spark.functions.linkgraph import HOST_BLOCK
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    block = F.lit(HOST_BLOCK).cast("long")
+    host = _floordiv(F.col("doc_id"), block)
+    src_doc = F.when(
+        host % MIRROR_MOD == F.lit(1).cast("long"),
+        (host - 1) * block + F.col("doc_id") % block,
+    ).otherwise(F.col("doc_id"))
+    fp = (src_doc % MIRROR_FP_P) * MIRROR_FP_A % MIRROR_FP_P
+    return (
+        docs.select(host.alias("host"), fp.alias("fp"))
+        .distinct()
+    )
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host_a, host_b, n_shared, k_a, k_b, resemblance_ppm, is_mirror)
+    for every host pair sharing at least one sampled fingerprint —
+    the Bharat-Broder mirror candidates with their shared-sample
+    resemblance in exact integer ppm."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pf = mirror_page_fps(docs)
+    wk = Window.partitionBy("host").orderBy("fp")
+    sketch = (
+        pf.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= MIRROR_SKETCH_K)
+        .drop("rn")
+    )
+    sizes = sketch.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("ksize")
+    )
+    wcap = Window.partitionBy("fp")
+    capped = (
+        sketch.withColumn("nh", F.count(F.lit(1)).over(wcap))
+        .filter(F.col("nh") <= MIRROR_FP_CAP)
+        .drop("nh")
+    )
+    pairs = (
+        capped.select(F.col("host").alias("host_a"), "fp")
+        .join(capped.select(F.col("host").alias("host_b"), "fp"), "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    res = _floordiv(
+        F.col("n_shared") * F.lit(1_000_000).cast("long"),
+        F.least(F.col("k_a"), F.col("k_b")),
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("ksize").alias("k_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("ksize").alias("k_b")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_shared",
+            "k_a",
+            "k_b",
+            res.alias("resemblance_ppm"),
+            (res >= MIRROR_PPM_MIN).alias("is_mirror"),
+        )
+    )

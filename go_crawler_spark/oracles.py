@@ -3624,3 +3624,64 @@ FROM agg
 
 
 FOCUSED_FRONTIER = _focused_frontier_sql()
+
+
+# --- mirror-host detection -------------------------------------------------------
+# Mirrors similarity.q_mirror_hosts (Bharat & Broder, WWW 1999): the
+# planted mirror fingerprint synthesis (host ≡ 1 mod MIRROR_MOD
+# replays host-1's pages; reduced-key LCG fp, every product < 5e13),
+# per-host bottom-k sketch (row_number over fp — distinct rows, no
+# tie), the hot-fp cap, the shared-sample pair counts, and the
+# integer-ppm resemblance (// floor-division, BIGINT-safe: n_shared
+# ≤ K so the numerator is ≤ 8e6).
+
+
+def _mirror_hosts_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import HOST_BLOCK
+    from go_crawler_spark.functions.similarity import (
+        MIRROR_FP_A,
+        MIRROR_FP_CAP,
+        MIRROR_FP_P,
+        MIRROR_MOD,
+        MIRROR_PPM_MIN,
+        MIRROR_SKETCH_K,
+    )
+
+    return f"""
+WITH pf AS (
+  SELECT DISTINCT doc_id // {HOST_BLOCK} AS host,
+         ((CASE WHEN (doc_id // {HOST_BLOCK}) % {MIRROR_MOD} = 1
+                THEN (doc_id // {HOST_BLOCK} - 1) * {HOST_BLOCK}
+                     + doc_id % {HOST_BLOCK}
+                ELSE doc_id END) % {MIRROR_FP_P})
+           * {MIRROR_FP_A} % {MIRROR_FP_P} AS fp
+  FROM documents),
+sk AS (
+  SELECT host, fp,
+         row_number() OVER (PARTITION BY host ORDER BY fp) AS rn
+  FROM pf),
+sketch AS (SELECT host, fp FROM sk WHERE rn <= {MIRROR_SKETCH_K}),
+sizes AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS ksize FROM sketch GROUP BY host),
+capped AS (
+  SELECT host, fp FROM (
+    SELECT host, fp, count(*) OVER (PARTITION BY fp) AS nh FROM sketch) t
+  WHERE nh <= {MIRROR_FP_CAP}),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM capped a JOIN capped b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT p.host_a, p.host_b, p.n_shared,
+       sa.ksize AS k_a, sb.ksize AS k_b,
+       CAST(p.n_shared * 1000000 // least(sa.ksize, sb.ksize)
+         AS BIGINT) AS resemblance_ppm,
+       p.n_shared * 1000000 // least(sa.ksize, sb.ksize)
+         >= {MIRROR_PPM_MIN} AS is_mirror
+FROM pairs p
+JOIN sizes sa ON sa.host = p.host_a
+JOIN sizes sb ON sb.host = p.host_b
+"""
+
+
+MIRROR_HOSTS = _mirror_hosts_sql()

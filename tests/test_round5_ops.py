@@ -802,3 +802,62 @@ def test_focused_frontier_matches_bruteforce(spark, sf_small):
     assert all(0 <= v[3] <= 1_000_000 for v in got.values())
     assert any(v[4] for v in got.values())
     assert not all(v[4] for v in got.values())
+
+
+def test_mirror_hosts_matches_bruteforce(spark, sf_small):
+    """Mirror detection equals a pure-Python replay of the sketch /
+    capped-pairing / resemblance math, and the planted semantics hold:
+    the flagged set is exactly the planted (h-1, h ≡ 1 mod MIRROR_MOD)
+    predecessor pairs, each sharing its full sketch."""
+    from go_crawler_spark.functions.linkgraph import HOST_BLOCK
+    from go_crawler_spark.functions.similarity import (
+        MIRROR_FP_A,
+        MIRROR_FP_CAP,
+        MIRROR_FP_P,
+        MIRROR_MOD,
+        MIRROR_PPM_MIN,
+        MIRROR_SKETCH_K,
+        q_mirror_hosts,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    pages = [r["doc_id"] for r in docs.collect()]
+    fps: dict[int, set[int]] = {}
+    for p in pages:
+        h = p // HOST_BLOCK
+        src = (h - 1) * HOST_BLOCK + p % HOST_BLOCK if h % MIRROR_MOD == 1 else p
+        fps.setdefault(h, set()).add(src % MIRROR_FP_P * MIRROR_FP_A % MIRROR_FP_P)
+    sketch = {h: sorted(s)[:MIRROR_SKETCH_K] for h, s in fps.items()}
+    by_fp: dict[int, list[int]] = {}
+    for h, sk in sketch.items():
+        for fp in sk:
+            by_fp.setdefault(fp, []).append(h)
+    shared: dict[tuple[int, int], int] = {}
+    for fp, hosts in by_fp.items():
+        if len(hosts) > MIRROR_FP_CAP:
+            continue
+        hosts = sorted(hosts)
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1:]:
+                shared[(a, b)] = shared.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), n in shared.items():
+        res = n * 1_000_000 // min(len(sketch[a]), len(sketch[b]))
+        expect[(a, b)] = (
+            n, len(sketch[a]), len(sketch[b]), res, res >= MIRROR_PPM_MIN
+        )
+    got = {
+        (r["host_a"], r["host_b"]): (
+            r["n_shared"], r["k_a"], r["k_b"],
+            r["resemblance_ppm"], r["is_mirror"],
+        )
+        for r in q_mirror_hosts(spark, sf_small).collect()
+    }
+    assert got == expect
+    planted = {
+        (h - 1, h) for h in fps if h % MIRROR_MOD == 1 and h - 1 in fps
+    }
+    assert planted
+    assert {p for p, v in got.items() if v[4]} == planted
+    # a full mirror shares its entire sketch
+    assert all(got[p][0] == min(got[p][1], got[p][2]) for p in planted)

@@ -328,6 +328,14 @@ AUDITED = {
         ["MapInPandas", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # mirror hosts: bottom-k sketch (host-keyed Window) → hot-fp cap
+    # (fp-keyed Window) → fp equi-join pairing → host equi-joins for
+    # the sketch sizes. Never a host×host product, never an NLJ (no
+    # 1-row broadcast in this plan at all).
+    "mirror_hosts": (
+        ["Window", "HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # host-graph rank: PageRank's plan shape run over the contracted
     # host node set — per-round rank attach + dst aggregation are
     # long-keyed equi-joins/aggregates; the contraction itself is a
