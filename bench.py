@@ -202,6 +202,7 @@ def main() -> None:
         "host_graph_rank",  # uncrawled-URL priority via host supergraph
         "focused_frontier",  # pre-fetch topical priority (Chakrabarti)
         "mirror_hosts",  # replicated-host detection (Bharat-Broder)
+        "dedup_best_copy",  # keep the highest-resolution dup-cluster copy
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -1475,3 +1475,54 @@ def q_aspect_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.expr(f"n_bucket div {ASPECT_BATCH}") * ASPECT_BATCH
         ).alias("keep"),
     )
+
+
+# --- best-copy keeper selection -----------------------------------------------
+# The retrieval half of image dedup: q_phash_components picks the
+# cluster's canonical as the MIN img_id — an arbitrary but stable
+# choice. A curation pipeline wants the BEST copy instead: among
+# near-identical images, keep the highest-resolution one (LAION-5B
+# and DataComp both dedupe toward the largest variant — re-encodes
+# and thumbnails drop, the original survives). The rule is pure
+# metadata: argmax by pixel count, img_id ascending as the
+# deterministic tie-break, one row_number window per component —
+# never a pixel comparison, and the window's partition is a dup
+# cluster (bounded by the upstream hot-bucket cap), not the corpus.
+#
+# Resolution synthesis (the phash corpus is dimensionless): scale
+# class = 1 + img_id % BESTCOPY_SCALE_MOD, dims = 32·scale. The
+# planted variant (img_id = base + 100000, and 100000 ≡ 1 mod 3)
+# always lands in a DIFFERENT scale class than its base, so every
+# planted dup pair exercises the rule — sometimes the edited copy is
+# the bigger one and wins over the min-id canonical.
+
+BESTCOPY_SCALE_MOD = 3  # scale classes 1..3 → 32/64/96 px squares
+BESTCOPY_BASE_PX = 32
+
+
+def q_dedup_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_id, component, width, height, n_pixels, keep) — keep marks
+    the highest-resolution member of each phash dup cluster (ties to
+    the lower img_id); singleton components keep themselves."""
+    comp = q_phash_components(spark, sf_dir).select("img_id", "component")
+    scale = (F.lit(1) + F.col("img_id") % BESTCOPY_SCALE_MOD).cast("long")
+    dims = comp.select(
+        "img_id",
+        "component",
+        (F.lit(BESTCOPY_BASE_PX) * scale).alias("width"),
+        (F.lit(BESTCOPY_BASE_PX) * scale).alias("height"),
+        (F.lit(BESTCOPY_BASE_PX) * scale * BESTCOPY_BASE_PX * scale).alias(
+            "n_pixels"
+        ),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_pixels"), F.asc("img_id")
+    )
+    return dims.select(
+        "img_id",
+        "component",
+        "width",
+        "height",
+        "n_pixels",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

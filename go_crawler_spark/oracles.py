@@ -3685,3 +3685,45 @@ JOIN sizes sb ON sb.host = p.host_b
 
 
 MIRROR_HOSTS = _mirror_hosts_sql()
+
+
+# --- best-copy keeper selection ---------------------------------------------
+# Mirrors multimodal.q_dedup_best_copy: the golden component rows
+# (independent pure-Python union-find, shared with PHASH_COMPONENTS so
+# the two oracles can't disagree on clustering), then the resolution
+# synthesis and the argmax-keeper window expressed independently in
+# SQL — all integer, the row_number total order has no ties
+# (n_pixels DESC then img_id ASC is strict).
+
+
+def _dedup_best_copy_sql() -> str:
+    from go_crawler_spark.functions.multimodal import (
+        BESTCOPY_BASE_PX,
+        BESTCOPY_SCALE_MOD,
+    )
+
+    return f"""
+WITH golden(img_id, component, is_canonical) AS (
+  VALUES
+    {_phash_components_golden_values()}),
+g AS (
+  SELECT CAST(golden.img_id AS BIGINT) AS img_id,
+         CAST(golden.component AS BIGINT) AS component
+  FROM golden JOIN documents d ON d.doc_id = golden.img_id % 100000),
+dims AS (
+  SELECT img_id, component,
+         CAST({BESTCOPY_BASE_PX} * (1 + img_id % {BESTCOPY_SCALE_MOD})
+           AS BIGINT) AS width,
+         CAST({BESTCOPY_BASE_PX} * (1 + img_id % {BESTCOPY_SCALE_MOD})
+           AS BIGINT) AS height
+  FROM g)
+SELECT img_id, component, width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       row_number() OVER (PARTITION BY component
+                          ORDER BY width * height DESC, img_id ASC) = 1
+         AS keep
+FROM dims
+"""
+
+
+DEDUP_BEST_COPY = _dedup_best_copy_sql()

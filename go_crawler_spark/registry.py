@@ -77,10 +77,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  winnow_fingerprints, trustrank,
-# containment_pairs, host_graph_rank, focused_frontier, and
-# mirror_hosts, added after the window was frozen, sit last
-# (positions 101-106) with local sf0.001/sf0.01/sf0.3 oracle
-# evidence.
+# containment_pairs, host_graph_rank, focused_frontier,
+# mirror_hosts, and dedup_best_copy, added after the window was
+# frozen, sit last (positions 101-107) with local
+# sf0.001/sf0.01/sf0.3 oracle evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -425,6 +425,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         oracles.FOCUSED_FRONTIER,
     ),
     "mirror_hosts": (similarity.q_mirror_hosts, oracles.MIRROR_HOSTS),
+    "dedup_best_copy": (
+        multimodal.q_dedup_best_copy,
+        oracles.DEDUP_BEST_COPY,
+    ),
 }
 
 

@@ -861,3 +861,52 @@ def test_mirror_hosts_matches_bruteforce(spark, sf_small):
     assert {p for p, v in got.items() if v[4]} == planted
     # a full mirror shares its entire sketch
     assert all(got[p][0] == min(got[p][1], got[p][2]) for p in planted)
+
+
+def test_dedup_best_copy_matches_bruteforce(spark, sf_small):
+    """Best-copy keeper equals a pure-Python replay over the golden
+    component map, exactly one keep per component, and the rule is
+    live in both directions: some cluster's keeper is NOT the min-id
+    canonical (the variant out-resolved its base) and some cluster's
+    keeper IS the base (resolution broke the other way)."""
+    from go_crawler_spark.functions.multimodal import (
+        BESTCOPY_BASE_PX,
+        BESTCOPY_SCALE_MOD,
+        PHASH_VARIANT_OFFSET,
+        phash_components_golden,
+        q_dedup_best_copy,
+    )
+
+    comp = {i: c for i, c, _ in phash_components_golden()}
+    members: dict[int, list[int]] = {}
+    for i, c in comp.items():
+        members.setdefault(c, []).append(i)
+
+    def npx(i: int) -> int:
+        side = BESTCOPY_BASE_PX * (1 + i % BESTCOPY_SCALE_MOD)
+        return side * side
+
+    keeper = {
+        c: min(ms, key=lambda i: (-npx(i), i)) for c, ms in members.items()
+    }
+    expect = {
+        i: (comp[i], npx(i), keeper[comp[i]] == i) for i in comp
+    }
+    got = {
+        r["img_id"]: (r["component"], r["n_pixels"], r["keep"])
+        for r in q_dedup_best_copy(spark, sf_small).collect()
+    }
+    assert got == expect
+    per_comp = {}
+    for i, (c, _, k) in got.items():
+        per_comp[c] = per_comp.get(c, 0) + (1 if k else 0)
+    assert all(n == 1 for n in per_comp.values())
+    multi = [c for c, ms in members.items() if len(ms) > 1]
+    assert multi
+    variant_wins = [
+        c for c in multi if keeper[c] >= PHASH_VARIANT_OFFSET
+    ]
+    base_wins = [c for c in multi if keeper[c] < PHASH_VARIANT_OFFSET]
+    assert variant_wins and base_wins
+    # the rule genuinely differs from the min-id canonical
+    assert any(keeper[c] != min(members[c]) for c in multi)

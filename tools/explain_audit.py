@@ -328,6 +328,13 @@ AUDITED = {
         ["MapInPandas", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # best-copy keeper: the phash components pass (MapInPandas corpus
+    # synth + star contraction) feeding one component-keyed Window
+    # argmax; dims are a narrow integer projection. Never a product.
+    "dedup_best_copy": (
+        ["Window", "MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # mirror hosts: bottom-k sketch (host-keyed Window) → hot-fp cap
     # (fp-keyed Window) → fp equi-join pairing → host equi-joins for
     # the sketch sizes. Never a host×host product, never an NLJ (no
