@@ -203,6 +203,8 @@ def main() -> None:
         "focused_frontier",  # pre-fetch topical priority (Chakrabarti)
         "mirror_hosts",  # replicated-host detection (Bharat-Broder)
         "dedup_best_copy",  # keep the highest-resolution dup-cluster copy
+        "crawl_depth",  # BFS hop distance from seeds (Najork-Wiener)
+        "spam_url_score",  # lexical pre-fetch spam gate (Ma 2009)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

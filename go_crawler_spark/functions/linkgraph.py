@@ -759,3 +759,58 @@ def q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         prio.alias("priority_ppm"),
         (prio >= FOCUS_PRIORITY_MIN).alias("crawl_next"),
     )
+
+
+# --- BFS crawl depth ---------------------------------------------------------------
+# Najork & Wiener, WWW 2001 ("Breadth-first crawling yields
+# high-quality pages"): the breadth-first crawl order is defined by
+# each URL's hop distance from the seed set, and the wavefront profile
+# (how many new URLs each hop discovers) is what a crawl planner uses
+# to budget rounds. This operator computes that quantity exactly:
+# first_hop(v) = min hops from any seed, -1 if unreachable within
+# DEPTH_MAX.
+#
+# Shape: set expansion, not rank propagation — each hop is one
+# edges⋈frontier equi-join (shuffle keyed on the 8-byte src), a
+# DISTINCT, and an anti-join against the seen set; per-hop state is
+# (doc_id, hop) longs. DEPTH_MAX unrolled rounds, same O(iters)
+# shuffle-round discipline as PageRank. The reference's BFS dequeue
+# (crawler.go:606-641) realizes this order one URL at a time; here
+# the whole wavefront advances per round.
+
+DEPTH_SEED_MOD = 100  # doc_id ≡ 0 (mod 100) are the seed URLs
+DEPTH_MAX = 3  # hops computed; beyond → first_hop = -1
+
+
+def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_seed, first_hop) over the synthesized link graph:
+    min-hop BFS depth from the seed set, -1 when unreached within
+    DEPTH_MAX hops — the breadth-first crawl order as a column."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    edges = link_edges(docs)
+    seeds = docs.filter(F.col("doc_id") % DEPTH_SEED_MOD == 0)
+    seen = seeds.select("doc_id", F.lit(0).cast("long").alias("first_hop"))
+    frontier = seeds
+    for hop in range(1, DEPTH_MAX + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("doc_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(seen.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(hop).cast("long").alias("first_hop"))
+            .localCheckpoint(eager=False)
+        )
+        seen = seen.union(nxt)
+        frontier = nxt
+    return (
+        docs.join(seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % DEPTH_SEED_MOD == 0).alias("is_seed"),
+            F.coalesce(F.col("first_hop"), F.lit(-1).cast("long")).alias(
+                "first_hop"
+            ),
+        )
+    )

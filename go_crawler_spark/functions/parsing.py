@@ -866,3 +866,130 @@ def q_dust_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "irrelevant"
         ),
     )
+
+
+# --- lexical URL spam scoring ------------------------------------------------
+# Ma, Saul, Savage & Voelker, KDD 2009 ("Beyond blacklists: learning to
+# detect malicious web sites from suspicious URLs"): spam/malicious
+# URLs are separable from benign ones by LEXICAL features alone —
+# length, digit density, hyphenated keyword stuffing, path depth,
+# IP-literal hosts — so a crawler can gate them BEFORE spending a
+# fetch, complementing the blocklist (exact rules) and DUST (parameter
+# rules) passes with a statistical pre-fetch verdict.
+#
+# Scale shape: every feature is a JVM-side string expression over the
+# URL column — a pure narrow map, ZERO shuffles at any corpus size
+# (the same plan class as domain_split). The features are computed
+# from the URL STRING, never from the synthesis class, so the score
+# would transfer to real frontier URLs unchanged.
+#
+# Synthesis (five URL populations from ``orders``, keys replayed
+# exactly by the oracle): clean product pages, hyphen-stuffed keyword
+# spam, deep session paths, digit-heavy tracking paths, IP-literal
+# hosts. Integer weights; is_spam at SPAMURL_THRESHOLD.
+
+SPAMURL_W_HYPHEN = 5  # per hyphen in the URL
+SPAMURL_W_DIGIT = 3  # per digit beyond the free allowance
+SPAMURL_DIGIT_FREE = 6  # digits a benign URL may carry (ids, years)
+SPAMURL_W_DEPTH = 10  # per path segment beyond the free depth
+SPAMURL_DEPTH_FREE = 4
+SPAMURL_W_IP = 40  # IP-literal host
+SPAMURL_THRESHOLD = 30
+
+
+def spamurl_synth(orders: DataFrame) -> DataFrame:
+    """(url) — five deterministic URL populations keyed on o_orderkey
+    (k mod 5 picks the class; every digit below 1e9 so no engine can
+    overflow)."""
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.lit("shop"), (k % 20).cast("string"), F.lit(".example.com")
+    )
+    ip_host = F.concat(
+        F.lit("10."),
+        (k % 250).cast("string"),
+        F.lit("."),
+        (k % 199).cast("string"),
+        F.lit(".7"),
+    )
+    url = (
+        F.when(
+            k % 5 == 0,
+            F.concat(host, F.lit("/p/"), (k % 100000).cast("string")),
+        )
+        .when(
+            k % 5 == 1,
+            F.concat(
+                host,
+                F.lit("/buy-cheap-best-deal-extra-now-"),
+                (k % 1000).cast("string"),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(
+                host,
+                F.lit("/a/b/c/d/e/f/"),
+                (k % 1000).cast("string"),
+            ),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(
+                host,
+                F.lit("/x/"),
+                ((k % 1000000007) * 2654435761 % 1000000007).cast("string"),
+                (((k + 1) % 1000000007) * 2654435761 % 1000000007).cast(
+                    "string"
+                ),
+                ((k * 7 + 3) % 1000000).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(ip_host, F.lit("/p/"), (k % 100000).cast("string"))
+        )
+    )
+    return orders.select(F.col("o_orderkey").alias("url_key"), url.alias("url"))
+
+
+def _count_char(col: Column, pattern: str) -> Column:
+    """Occurrences of a single-char class via length difference —
+    identical semantics in Spark and DuckDB regexp_replace."""
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, pattern, F.lit("")))
+    ).cast("long")
+
+
+def q_spam_url_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url_key, url, url_len, n_digits, n_hyphens, path_depth,
+    host_is_ip, spam_score, is_spam) — the lexical pre-fetch spam
+    verdict for every synthesized frontier URL; zero shuffles."""
+    urls = spamurl_synth(load(spark, sf_dir, "orders"))
+    host = F.substring_index(F.col("url"), "/", 1)
+    n_digits = _count_char(F.col("url"), "[0-9]")
+    n_hyphens = _count_char(F.col("url"), "-")
+    path_depth = _count_char(F.col("url"), "/")
+    host_is_ip = host.rlike("^[0-9.]+$")
+    score = (
+        n_hyphens * SPAMURL_W_HYPHEN
+        + F.greatest(
+            F.lit(0).cast("long"), n_digits - SPAMURL_DIGIT_FREE
+        )
+        * SPAMURL_W_DIGIT
+        + F.greatest(
+            F.lit(0).cast("long"), path_depth - SPAMURL_DEPTH_FREE
+        )
+        * SPAMURL_W_DEPTH
+        + F.when(host_is_ip, F.lit(SPAMURL_W_IP)).otherwise(0).cast("long")
+    ).cast("long")
+    return urls.select(
+        "url_key",
+        "url",
+        F.length("url").cast("long").alias("url_len"),
+        n_digits.alias("n_digits"),
+        n_hyphens.alias("n_hyphens"),
+        path_depth.alias("path_depth"),
+        host_is_ip.alias("host_is_ip"),
+        score.alias("spam_score"),
+        (score >= SPAMURL_THRESHOLD).alias("is_spam"),
+    )

@@ -3727,3 +3727,136 @@ FROM dims
 
 
 DEDUP_BEST_COPY = _dedup_best_copy_sql()
+
+
+# --- BFS crawl depth ---------------------------------------------------------
+# Mirrors linkgraph.q_crawl_depth (Najork & Wiener 2001): the shared
+# LCG edge synthesis, then DEPTH_MAX unrolled BFS levels — each level
+# is the distinct out-neighborhood of the previous one minus
+# everything already seen (NOT EXISTS = the engine's anti-join).
+# All-integer; first_hop pins to -1 for URLs the wavefront never
+# reaches.
+
+
+def _crawl_depth_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        DEPTH_MAX,
+        DEPTH_SEED_MOD,
+    )
+
+    parts = [
+        f"l0 AS (SELECT doc_id FROM documents WHERE doc_id % {DEPTH_SEED_MOD} = 0)",
+        "s0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS first_hop FROM l0)",
+    ]
+    for i in range(1, DEPTH_MAX + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT DISTINCT e.dst AS doc_id
+  FROM edges e JOIN l{i - 1} p ON p.doc_id = e.src
+  WHERE NOT EXISTS (SELECT 1 FROM s{i - 1} s WHERE s.doc_id = e.dst))"""
+        )
+        parts.append(
+            f"""s{i} AS (
+  SELECT doc_id, first_hop FROM s{i - 1}
+  UNION ALL
+  SELECT doc_id, CAST({i} AS BIGINT) AS first_hop FROM l{i})"""
+        )
+    levels = ",\n".join(parts)
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id AS src, nn.n,
+         (d.doc_id * {PR_LCG_A} + u.k * {PR_LCG_K} + {PR_LCG_C})
+           % nn.n AS dst0
+  FROM documents d, nn, unnest(generate_series(0, {PR_FANOUT - 1})) AS u(k)),
+edges AS (
+  SELECT DISTINCT src,
+         CASE WHEN dst0 = src THEN (dst0 + 1) % n ELSE dst0 END AS dst
+  FROM cand),
+{levels}
+SELECT d.doc_id,
+       d.doc_id % {DEPTH_SEED_MOD} = 0 AS is_seed,
+       COALESCE(s.first_hop, -1) AS first_hop
+FROM documents d LEFT JOIN s{DEPTH_MAX} s ON s.doc_id = d.doc_id
+"""
+
+
+CRAWL_DEPTH = _crawl_depth_sql()
+
+
+# --- lexical URL spam scoring --------------------------------------------------
+# Mirrors parsing.q_spam_url_score (Ma et al., KDD 2009): the five-way
+# URL synthesis replayed exactly (same reduced-key session-id math as
+# CRAWL_TRAP_TEMPLATES), then every lexical feature computed FROM THE
+# STRING with engine-parallel primitives — length-difference counts
+# for char classes, split_part for the host (Spark substring_index),
+# anchored regexp for the IP-literal test. All-integer score.
+
+
+def _spam_url_score_sql() -> str:
+    from go_crawler_spark.functions.parsing import (
+        SPAMURL_DEPTH_FREE,
+        SPAMURL_DIGIT_FREE,
+        SPAMURL_THRESHOLD,
+        SPAMURL_W_DEPTH,
+        SPAMURL_W_DIGIT,
+        SPAMURL_W_HYPHEN,
+        SPAMURL_W_IP,
+    )
+
+    return f"""
+WITH u AS (
+  SELECT o_orderkey AS url_key,
+         CASE o_orderkey % 5
+           WHEN 0 THEN 'shop' || CAST(o_orderkey % 20 AS VARCHAR)
+                    || '.example.com/p/'
+                    || CAST(o_orderkey % 100000 AS VARCHAR)
+           WHEN 1 THEN 'shop' || CAST(o_orderkey % 20 AS VARCHAR)
+                    || '.example.com/buy-cheap-best-deal-extra-now-'
+                    || CAST(o_orderkey % 1000 AS VARCHAR)
+           WHEN 2 THEN 'shop' || CAST(o_orderkey % 20 AS VARCHAR)
+                    || '.example.com/a/b/c/d/e/f/'
+                    || CAST(o_orderkey % 1000 AS VARCHAR)
+           WHEN 3 THEN 'shop' || CAST(o_orderkey % 20 AS VARCHAR)
+                    || '.example.com/x/'
+                    || CAST((o_orderkey % 1000000007) * 2654435761
+                            % 1000000007 AS VARCHAR)
+                    || CAST(((o_orderkey + 1) % 1000000007) * 2654435761
+                            % 1000000007 AS VARCHAR)
+                    || CAST((o_orderkey * 7 + 3) % 1000000 AS VARCHAR)
+           ELSE '10.' || CAST(o_orderkey % 250 AS VARCHAR)
+                    || '.' || CAST(o_orderkey % 199 AS VARCHAR)
+                    || '.7/p/' || CAST(o_orderkey % 100000 AS VARCHAR)
+         END AS url
+  FROM orders),
+f AS (
+  SELECT url_key, url,
+         CAST(length(url) AS BIGINT) AS url_len,
+         CAST(length(url)
+              - length(regexp_replace(url, '[0-9]', '', 'g'))
+           AS BIGINT) AS n_digits,
+         CAST(length(url)
+              - length(regexp_replace(url, '-', '', 'g'))
+           AS BIGINT) AS n_hyphens,
+         CAST(length(url)
+              - length(regexp_replace(url, '/', '', 'g'))
+           AS BIGINT) AS path_depth,
+         regexp_matches(split_part(url, '/', 1), '^[0-9.]+$') AS host_is_ip
+  FROM u),
+s AS (
+  SELECT *,
+         CAST(n_hyphens * {SPAMURL_W_HYPHEN}
+              + greatest(0, n_digits - {SPAMURL_DIGIT_FREE})
+                * {SPAMURL_W_DIGIT}
+              + greatest(0, path_depth - {SPAMURL_DEPTH_FREE})
+                * {SPAMURL_W_DEPTH}
+              + CASE WHEN host_is_ip THEN {SPAMURL_W_IP} ELSE 0 END
+           AS BIGINT) AS spam_score
+  FROM f)
+SELECT url_key, url, url_len, n_digits, n_hyphens, path_depth, host_is_ip,
+       spam_score, spam_score >= {SPAMURL_THRESHOLD} AS is_spam
+FROM s
+"""
+
+
+SPAM_URL_SCORE = _spam_url_score_sql()

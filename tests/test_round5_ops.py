@@ -910,3 +910,103 @@ def test_dedup_best_copy_matches_bruteforce(spark, sf_small):
     assert variant_wins and base_wins
     # the rule genuinely differs from the min-id canonical
     assert any(keeper[c] != min(members[c]) for c in multi)
+
+
+def test_crawl_depth_matches_bruteforce(spark, sf_small):
+    """BFS crawl depth equals a pure-Python BFS over the collected edge
+    set, the wavefront is monotone (every hop-h node has an in-edge
+    from a hop-(h-1) node), and both reached and unreached classes
+    exist at this corpus size."""
+    from go_crawler_spark.functions.linkgraph import (
+        DEPTH_MAX,
+        DEPTH_SEED_MOD,
+        link_edges,
+        q_crawl_depth,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id")
+    nodes = [r["doc_id"] for r in docs.collect()]
+    adj: dict[int, list[int]] = {}
+    for r in link_edges(docs).select("src", "dst").collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    hop = {v: 0 for v in nodes if v % DEPTH_SEED_MOD == 0}
+    frontier = set(hop)
+    for h in range(1, DEPTH_MAX + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in hop:
+                    nxt.add(v)
+        for v in nxt:
+            hop[v] = h
+        frontier = nxt
+    expect = {
+        v: (v % DEPTH_SEED_MOD == 0, hop.get(v, -1)) for v in nodes
+    }
+    got = {
+        r["doc_id"]: (r["is_seed"], r["first_hop"])
+        for r in q_crawl_depth(spark, sf_small).collect()
+    }
+    assert got == expect
+    hops = {v for _, v in got.values()}
+    assert {0, 1, -1} <= hops  # seeds, first wave, and unreached all exist
+    # monotone wavefront: every hop-h node has a hop-(h-1) in-neighbor
+    rev: dict[int, list[int]] = {}
+    for u, vs in adj.items():
+        for v in vs:
+            rev.setdefault(v, []).append(u)
+    for v, (_, h) in got.items():
+        if h > 0:
+            assert any(got[u][1] == h - 1 for u in rev.get(v, []))
+
+
+def test_spam_url_score_matches_bruteforce(spark, sf_small):
+    """Lexical spam verdict equals a pure-Python replay computed FROM
+    THE URL STRING (not the synthesis class), and the classes the
+    weights provably separate behave: clean product pages never flag;
+    hyphen-stuffed, deep-path, and IP-host classes always flag."""
+    from go_crawler_spark.functions.parsing import (
+        SPAMURL_DEPTH_FREE,
+        SPAMURL_DIGIT_FREE,
+        SPAMURL_THRESHOLD,
+        SPAMURL_W_DEPTH,
+        SPAMURL_W_DIGIT,
+        SPAMURL_W_HYPHEN,
+        SPAMURL_W_IP,
+        q_spam_url_score,
+    )
+    import re
+
+    rows = q_spam_url_score(spark, sf_small).collect()
+    assert rows
+    cls_flags: dict[int, list[bool]] = {}
+    for r in rows:
+        url = r["url"]
+        host = url.split("/", 1)[0]
+        n_digits = sum(c.isdigit() for c in url)
+        n_hyphens = url.count("-")
+        path_depth = url.count("/")
+        host_is_ip = re.fullmatch(r"[0-9.]+", host) is not None
+        score = (
+            n_hyphens * SPAMURL_W_HYPHEN
+            + max(0, n_digits - SPAMURL_DIGIT_FREE) * SPAMURL_W_DIGIT
+            + max(0, path_depth - SPAMURL_DEPTH_FREE) * SPAMURL_W_DEPTH
+            + (SPAMURL_W_IP if host_is_ip else 0)
+        )
+        assert (
+            r["url_len"], r["n_digits"], r["n_hyphens"], r["path_depth"],
+            r["host_is_ip"], r["spam_score"], r["is_spam"],
+        ) == (
+            len(url), n_digits, n_hyphens, path_depth,
+            host_is_ip, score, score >= SPAMURL_THRESHOLD,
+        )
+        cls_flags.setdefault(r["url_key"] % 5, []).append(r["is_spam"])
+    assert set(cls_flags) == {0, 1, 2, 3, 4}
+    assert not any(cls_flags[0])  # clean pages never flag
+    assert all(cls_flags[1])  # 6 hyphens * 5 = 30 >= threshold
+    assert all(cls_flags[2])  # depth 7 -> (7-4)*10 = 30 >= threshold
+    assert all(cls_flags[4])  # IP host alone = 40 >= threshold
+    # digit-heavy class flags in the typical case (short-id outliers may
+    # legitimately score clean -- the verdict is string-derived)
+    flagged3 = sum(cls_flags[3]) / len(cls_flags[3])
+    assert flagged3 > 0.9

@@ -328,6 +328,23 @@ AUDITED = {
         ["MapInPandas", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # lexical URL spam gate: every feature is a JVM string expression
+    # over the synthesized URL — a pure narrow map, no Exchange at any
+    # corpus size (domain_split's plan class)
+    "spam_url_score": (
+        ["Project"],
+        ["Exchange", "CartesianProduct"],
+    ),
+    # BFS crawl depth: DEPTH_MAX unrolled set-expansion rounds — each
+    # an src-keyed equi-join + DISTINCT + anti-join over (long, long)
+    # rows. The per-hop localCheckpoints truncate the visible lineage
+    # (each level shows as Scan ExistingRDD), so the final plan to
+    # assert on is the Union of levels left-joined to the node scan —
+    # long-keyed, never an all-pairs product.
+    "crawl_depth": (
+        ["Union", "Exchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # best-copy keeper: the phash components pass (MapInPandas corpus
     # synth + star contraction) feeding one component-keyed Window
     # argmax; dims are a narrow integer projection. Never a product.
