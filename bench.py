@@ -205,6 +205,7 @@ def main() -> None:
         "dedup_best_copy",  # keep the highest-resolution dup-cluster copy
         "crawl_depth",  # BFS hop distance from seeds (Najork-Wiener)
         "spam_url_score",  # lexical pre-fetch spam gate (Ma 2009)
+        "fuzzy_decontaminate",  # near-dup eval leakage (MinHash gate)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -796,3 +796,110 @@ def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (near-duplicate) eval-set decontamination. q_decontaminate
+# catches VERBATIM overlap (shared 3-gram shingles); real leakage is
+# usually paraphrased or lightly edited, which exact n-grams miss —
+# GPT-3's appendix-C decontamination already used fuzzy 13-gram
+# matching, and current pipelines flag train docs whose MinHash
+# similarity to ANY eval doc clears a threshold. This operator is
+# that pass: the SHARED capped-LSH candidate pairs (identical band
+# kernel + hot-bucket cap as every minhash op, so candidates can
+# never drift from the near-dup family), restricted to pairs that
+# cross the train/eval split, scored by exact signature-position
+# matches (an integer 0..16 — the MinHash Jaccard estimator's
+# numerator; no float ever carries the verdict).
+#
+# Scale shape: the eval slice is 1/DECON_EVAL_MOD of the corpus and
+# band-joins like any LSH probe; per train doc the output keeps only
+# the best-matching eval doc (row_number window over candidate rows,
+# bounded by the hot-bucket cap). The 16 signature positions are NOT
+# recomputed per pair: the band kernel's key columns ARE the
+# signature (4 bands × 4 keys — q_minhash_jaccard_estimate's trick),
+# so the match count is two equi-joins on the already-vectorized band
+# rows plus a per-pair integer sum. Corpus text never shuffles — band
+# keys do.
+# --------------------------------------------------------------------------
+
+FUZZYDECON_MIN_MATCH = 12  # signature positions (of 16) ⇒ est J ≥ 0.75
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per non-eval document: candidate eval pairs from the shared
+    capped LSH, the best-matching eval doc by exact signature-position
+    count (ties to the lower eval_id), and the fuzzy-contamination
+    verdict. Docs with no eval candidate pin (0, -1, 0, false)."""
+    from pyspark.sql import Window
+
+    from go_crawler_spark.functions.similarity import (
+        minhash_bands_kernel,
+        q_minhash_lsh_candidates,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    cand = q_minhash_lsh_candidates(spark, sf_dir)
+    a_eval = F.col("doc_a") % DECON_EVAL_MOD == 0
+    b_eval = F.col("doc_b") % DECON_EVAL_MOD == 0
+    pairs = cand.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_id"
+        ),
+        F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "eval_id"
+        ),
+    )
+    # The band kernel's (band_id, k0..k3) rows hold the full 16-perm
+    # signature (uncapped frame — the cap only gates candidate
+    # GENERATION, never the score of a surviving pair).
+    bands = minhash_bands_kernel(docs.select("doc_id", "text"))
+    ks = ("k0", "k1", "k2", "k3")
+    bt = bands.select(
+        "doc_id", "band_id", *[F.col(k).alias(f"{k}_t") for k in ks]
+    )
+    be = bands.select(
+        F.col("doc_id").alias("eval_id"), "band_id",
+        *[F.col(k).alias(f"{k}_e") for k in ks],
+    )
+    per_band = None
+    for k in ks:
+        ind = (F.col(f"{k}_t") == F.col(f"{k}_e")).cast("long")
+        per_band = ind if per_band is None else per_band + ind
+    scored = (
+        pairs.join(bt, "doc_id")
+        .join(be, ["eval_id", "band_id"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.sum(per_band).cast("long").alias("n_match"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_match"), F.asc("eval_id")
+    )
+    best = (
+        scored.withColumn("n_cand", F.count(F.lit(1)).over(
+            Window.partitionBy("doc_id")
+        ))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("n_cand").cast("long"), "eval_id", "n_match")
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).alias("n_cand"),
+            F.coalesce(F.col("eval_id"), F.lit(-1).cast("long")).alias(
+                "eval_id"
+            ),
+            F.coalesce(F.col("n_match"), F.lit(0).cast("long")).alias(
+                "n_match"
+            ),
+            (
+                F.coalesce(F.col("n_match"), F.lit(0).cast("long"))
+                >= FUZZYDECON_MIN_MATCH
+            ).alias("fuzzy_contaminated"),
+        )
+    )

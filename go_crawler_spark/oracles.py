@@ -3860,3 +3860,58 @@ FROM s
 
 
 SPAM_URL_SCORE = _spam_url_score_sql()
+
+
+# --- fuzzy (near-dup) eval decontamination --------------------------------------
+# Mirrors cleaning.q_fuzzy_decontaminate: the SHARED capped-LSH
+# candidate CTEs (identical band kernel + hot-bucket cap, so the
+# candidate set can never drift from the minhash family), pairs
+# restricted to cross the train/eval split, exact signature-position
+# match counts, best eval per train doc by (n_match DESC, eval_id
+# ASC), and the integer threshold verdict. All-integer; unmatched
+# train docs pin (0, -1, 0, false).
+
+
+def _fuzzy_decontaminate_sql() -> str:
+    from go_crawler_spark.functions.cleaning import (
+        DECON_EVAL_MOD,
+        FUZZYDECON_MIN_MATCH,
+    )
+
+    return f"""
+WITH {_MINHASH_CAND_CTES},
+xp AS (
+  SELECT CASE WHEN doc_a % {DECON_EVAL_MOD} = 0 THEN doc_b ELSE doc_a END
+           AS doc_id,
+         CASE WHEN doc_a % {DECON_EVAL_MOD} = 0 THEN doc_a ELSE doc_b END
+           AS eval_id
+  FROM cand
+  WHERE (doc_a % {DECON_EVAL_MOD} = 0) <> (doc_b % {DECON_EVAL_MOD} = 0)),
+m AS (
+  SELECT p.doc_id, p.eval_id,
+         CAST(len(list_filter(generate_series(1, len(st.sig)),
+                              i -> st.sig[i] = se.sig[i]))
+           AS BIGINT) AS n_match
+  FROM xp p
+  JOIN sig st ON st.doc_id = p.doc_id
+  JOIN sig se ON se.doc_id = p.eval_id),
+best AS (
+  SELECT doc_id,
+         CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_cand,
+         eval_id, n_match,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_match DESC, eval_id ASC) AS rn
+  FROM m)
+SELECT d.doc_id,
+       COALESCE(b.n_cand, 0) AS n_cand,
+       COALESCE(b.eval_id, -1) AS eval_id,
+       COALESCE(b.n_match, 0) AS n_match,
+       COALESCE(b.n_match, 0) >= {FUZZYDECON_MIN_MATCH}
+         AS fuzzy_contaminated
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+"""
+
+
+FUZZY_DECONTAMINATE = _fuzzy_decontaminate_sql()

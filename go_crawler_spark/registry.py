@@ -78,9 +78,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  winnow_fingerprints, trustrank,
 # containment_pairs, host_graph_rank, focused_frontier,
-# mirror_hosts, dedup_best_copy, crawl_depth, and spam_url_score,
-# added after the window was frozen, sit last (positions 101-109)
-# with local sf0.001/sf0.01/sf0.3 oracle evidence.
+# mirror_hosts, dedup_best_copy, crawl_depth, spam_url_score, and
+# fuzzy_decontaminate, added after the window was frozen, sit last
+# (positions 101-110) with local sf0.001/sf0.01/sf0.3 oracle
+# evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -431,6 +432,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "crawl_depth": (linkgraph.q_crawl_depth, oracles.CRAWL_DEPTH),
     "spam_url_score": (parsing.q_spam_url_score, oracles.SPAM_URL_SCORE),
+    "fuzzy_decontaminate": (
+        cleaning.q_fuzzy_decontaminate,
+        oracles.FUZZY_DECONTAMINATE,
+    ),
 }
 
 

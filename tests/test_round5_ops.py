@@ -1010,3 +1010,76 @@ def test_spam_url_score_matches_bruteforce(spark, sf_small):
     # legitimately score clean -- the verdict is string-derived)
     flagged3 = sum(cls_flags[3]) / len(cls_flags[3])
     assert flagged3 > 0.9
+
+
+def test_fuzzy_decontaminate_matches_bruteforce(spark, sf_small):
+    """Fuzzy decontamination equals a pure-Python replay over the
+    pinned LSH candidate pair set (candidate generation is pinned by
+    its own oracle; the logic under test is the cross-split
+    restriction, signature matching, and best-eval selection), and it
+    catches leakage exact decontamination misses: some fuzzy-flagged
+    doc is NOT exact-flagged."""
+    from go_crawler_spark.functions.cleaning import (
+        DECON_EVAL_MOD,
+        FUZZYDECON_MIN_MATCH,
+        q_decontaminate,
+        q_fuzzy_decontaminate,
+    )
+    from go_crawler_spark.functions.similarity import (
+        MINHASH_PERMS,
+        P31,
+        q_minhash_lsh_candidates,
+    )
+
+    docs = load(spark, sf_small, "documents").select("doc_id", "text").collect()
+
+    def poly(s: str) -> int:
+        acc = 0
+        for c in s:
+            acc = (acc * 31 + ord(c)) % P31
+        return acc
+
+    sig = {}
+    for r in docs:
+        hs = {poly(t) for t in r["text"].split() if t}
+        if hs:
+            sig[r["doc_id"]] = [
+                min((h * a + b) % P31 for h in hs) for (a, b) in MINHASH_PERMS
+            ]
+    cand = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_lsh_candidates(spark, sf_small).collect()
+    ]
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for a, b in cand:
+        if (a % DECON_EVAL_MOD == 0) == (b % DECON_EVAL_MOD == 0):
+            continue
+        t, e = (b, a) if a % DECON_EVAL_MOD == 0 else (a, b)
+        n = sum(x == y for x, y in zip(sig[t], sig[e]))
+        per_doc.setdefault(t, []).append((n, e))
+    expect = {}
+    for r in docs:
+        d = r["doc_id"]
+        if d % DECON_EVAL_MOD == 0:
+            continue
+        ms = per_doc.get(d, [])
+        if ms:
+            best_n, best_e = max(ms, key=lambda t: (t[0], -t[1]))
+            expect[d] = (len(ms), best_e, best_n, best_n >= FUZZYDECON_MIN_MATCH)
+        else:
+            expect[d] = (0, -1, 0, False)
+    got = {
+        r["doc_id"]: (
+            r["n_cand"], r["eval_id"], r["n_match"], r["fuzzy_contaminated"]
+        )
+        for r in q_fuzzy_decontaminate(spark, sf_small).collect()
+    }
+    assert got == expect
+    flagged = {d for d, v in got.items() if v[3]}
+    assert flagged and len(flagged) < len(got)
+    exact_flagged = {
+        r["doc_id"]
+        for r in q_decontaminate(spark, sf_small).collect()
+        if r["contaminated"]
+    }
+    assert flagged - exact_flagged  # fuzzy catches what exact misses

@@ -328,6 +328,15 @@ AUDITED = {
         ["MapInPandas", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # fuzzy decontamination: the shared capped-LSH candidate join
+    # (band kernel + hot-bucket Window) plus doc_id/band_id equi-joins
+    # attaching the band-key signature positions to candidate rows
+    # only; the best-eval pick is a doc_id-keyed Window. Never an
+    # all-pairs product.
+    "fuzzy_decontaminate": (
+        ["MapInPandas", "Window"],
+        ["CartesianProduct"],
+    ),
     # lexical URL spam gate: every feature is a JVM string expression
     # over the synthesized URL — a pure narrow map, no Exchange at any
     # corpus size (domain_split's plan class)
