@@ -206,6 +206,7 @@ def main() -> None:
         "crawl_depth",  # BFS hop distance from seeds (Najork-Wiener)
         "spam_url_score",  # lexical pre-fetch spam gate (Ma 2009)
         "fuzzy_decontaminate",  # near-dup eval leakage (MinHash gate)
+        "image_decontaminate",  # phash eval leakage (image twin)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

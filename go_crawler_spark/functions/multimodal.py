@@ -228,14 +228,16 @@ def _phash_band_rows(corpus: DataFrame) -> DataFrame:
     )
 
 
-def phash_neardup_pairs(
+def phash_candidate_pairs(
     corpus: DataFrame, max_bucket: int = PHASH_MAX_BUCKET
 ) -> DataFrame:
-    """Near-dup pairs over an (img_id, phash) corpus: banded equi-join,
-    hot buckets dropped, exact Hamming rerank. The window count uses the
-    same (band_id, band_val) hash-partitioning the self-join needs, so
-    the Exchange is reused, not repeated (the _capped_bands pattern,
-    similarity.py)."""
+    """Banded candidate pairs over an (img_id, phash) corpus with their
+    exact Hamming distance, NO distance filter: banded equi-join, hot
+    buckets dropped. The window count uses the same (band_id, band_val)
+    hash-partitioning the self-join needs, so the Exchange is reused,
+    not repeated (the _capped_bands pattern, similarity.py). Near-dup
+    detection filters this to ≤ PHASH_MAX_HAMMING; decontamination
+    scores every surviving candidate."""
     bands = _phash_band_rows(corpus)
     w = Window.partitionBy("band_id", "band_val")
     bands = (
@@ -244,7 +246,7 @@ def phash_neardup_pairs(
         .drop("bucket_n")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -260,7 +262,16 @@ def phash_neardup_pairs(
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+def phash_neardup_pairs(
+    corpus: DataFrame, max_bucket: int = PHASH_MAX_BUCKET
+) -> DataFrame:
+    """Near-dup pairs over an (img_id, phash) corpus: banded equi-join,
+    hot buckets dropped, exact Hamming rerank."""
+    return phash_candidate_pairs(corpus, max_bucket).filter(
+        F.col("hamming") <= PHASH_MAX_HAMMING
+    )
 
 
 def phash_hot_buckets_for(
@@ -540,6 +551,129 @@ def phash_neardup_golden(
             hamming = bin(ha ^ hb).count("1")
             if shares_band and hamming <= PHASH_MAX_HAMMING:
                 out.append((x["img_id"], y["img_id"], hamming))
+    return sorted(out)
+
+
+# --- image eval-set decontamination ------------------------------------------
+# The image twin of cleaning.q_fuzzy_decontaminate: vision benchmarks
+# leak into web crawls as re-encoded/lightly-edited copies (the
+# ImageNet-in-LAION class), which byte-exact dedup misses but phash
+# catches. Train images whose perceptual hash sits within
+# PHASH_MAX_HAMMING of ANY eval-split image are flagged, over the
+# SAME capped band candidates as phash near-dup (identical kernel +
+# hot-bucket hygiene, so the contamination gate can never drift from
+# the dedup family), restricted to pairs that cross the split.
+#
+# Scale shape: candidates are the banded equi-join (4 int rows per
+# image, never pixels); per train image the output keeps only the
+# closest eval image (row_number window, bounded by the bucket cap).
+
+IMGDECON_EVAL_MOD = 7  # img_id ≡ 0 (mod 7) → held-out benchmark image
+IMGDECON_NO_MATCH = 64  # sentinel Hamming for "no eval candidate"
+
+
+def q_image_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per train (non-eval) image: candidate eval images from the shared
+    capped phash bands, the closest eval image by exact Hamming distance
+    (ties to the lower eval_img), and the contamination verdict. Images
+    with no eval candidate pin (0, -1, 64, false)."""
+    corpus = phash_corpus(spark, sf_dir)
+    is_eval = F.col("img_id") % IMGDECON_EVAL_MOD == 0
+    cand = phash_candidate_pairs(corpus)
+    a_eval = F.col("img_a") % IMGDECON_EVAL_MOD == 0
+    b_eval = F.col("img_b") % IMGDECON_EVAL_MOD == 0
+    cross = cand.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("img_b")).otherwise(F.col("img_a")).alias(
+            "img_id"
+        ),
+        F.when(a_eval, F.col("img_a")).otherwise(F.col("img_b")).alias(
+            "eval_img"
+        ),
+        "hamming",
+    )
+    w = Window.partitionBy("img_id").orderBy(
+        F.asc("hamming"), F.asc("eval_img")
+    )
+    best = (
+        cross.withColumn(
+            "n_cand", F.count(F.lit(1)).over(Window.partitionBy("img_id"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("img_id", F.col("n_cand").cast("long"), "eval_img", "hamming")
+    )
+    return (
+        corpus.filter(~is_eval)
+        .select("img_id")
+        .join(best, "img_id", "left")
+        .select(
+            "img_id",
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("long")).alias(
+                "n_cand"
+            ),
+            F.coalesce(F.col("eval_img"), F.lit(-1).cast("long")).alias(
+                "eval_img"
+            ),
+            F.coalesce(
+                F.col("hamming").cast("int"),
+                F.lit(IMGDECON_NO_MATCH).cast("int"),
+            ).alias("hamming"),
+            (
+                F.coalesce(
+                    F.col("hamming"), F.lit(IMGDECON_NO_MATCH)
+                )
+                <= PHASH_MAX_HAMMING
+            ).alias("img_contaminated"),
+        )
+    )
+
+
+def image_decontaminate_golden(
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> list[tuple[int, int, int, int, bool]]:
+    """Pure-Python replay of the cross-split banded candidates +
+    closest-eval selection over the full PHASH_N_DOCS corpus — the
+    golden rows the DuckDB oracle pins. Same kernel (codec.phash64),
+    same band rule, same cap, brute-forced."""
+    import collections
+
+    rows = _phash_rows(range(PHASH_N_DOCS))
+    bucket_n: collections.Counter = collections.Counter()
+    for r in rows:
+        h = r["phash"] & 0xFFFFFFFFFFFFFFFF
+        for k in range(_PHASH_BANDS):
+            bucket_n[(k, (h >> (16 * k)) & 0xFFFF)] += 1
+    per_train: dict[int, list[tuple[int, int]]] = {}
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            ea = ra["img_id"] % IMGDECON_EVAL_MOD == 0
+            eb = rb["img_id"] % IMGDECON_EVAL_MOD == 0
+            if ea == eb:
+                continue
+            ha = ra["phash"] & 0xFFFFFFFFFFFFFFFF
+            hb = rb["phash"] & 0xFFFFFFFFFFFFFFFF
+            shares_band = any(
+                (ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                and bucket_n[(k, (ha >> (16 * k)) & 0xFFFF)] <= max_bucket
+                for k in range(_PHASH_BANDS)
+            )
+            if not shares_band:
+                continue
+            t, e = (rb, ra) if ea else (ra, rb)
+            per_train.setdefault(t["img_id"], []).append(
+                (bin(ha ^ hb).count("1"), e["img_id"])
+            )
+    out = []
+    for r in rows:
+        t = r["img_id"]
+        if t % IMGDECON_EVAL_MOD == 0:
+            continue
+        ms = per_train.get(t, [])
+        if ms:
+            hm, ev = min(ms)
+            out.append((t, len(ms), ev, hm, hm <= PHASH_MAX_HAMMING))
+        else:
+            out.append((t, 0, -1, IMGDECON_NO_MATCH, False))
     return sorted(out)
 
 

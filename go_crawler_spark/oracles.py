@@ -3915,3 +3915,40 @@ WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
 
 
 FUZZY_DECONTAMINATE = _fuzzy_decontaminate_sql()
+
+
+# --- image eval-set decontamination -------------------------------------------
+# Mirrors multimodal.q_image_decontaminate via the same golden-rows
+# pattern as PHASH_NEARDUP: image_decontaminate_golden() is the
+# pure-Python brute-force replay (same codec.phash64 kernel, same band
+# rule + hot-bucket cap, cross-split restriction, closest-eval pick),
+# and the SQL pins those rows joined back to the documents table.
+
+
+def _image_decontaminate_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import (
+        image_decontaminate_golden,
+    )
+
+    return ",\n    ".join(
+        f"({i}, {n}, {e}, {h}, {str(bool(c)).upper()})"
+        for i, n, e, h, c in image_decontaminate_golden()
+    )
+
+
+def _image_decontaminate_sql() -> str:
+    return f"""
+WITH golden(img_id, n_cand, eval_img, hamming, img_contaminated) AS (
+  VALUES
+    {_image_decontaminate_golden_values()})
+SELECT CAST(g.img_id AS BIGINT)   AS img_id,
+       CAST(g.n_cand AS BIGINT)   AS n_cand,
+       CAST(g.eval_img AS BIGINT) AS eval_img,
+       CAST(g.hamming AS INT)     AS hamming,
+       g.img_contaminated         AS img_contaminated
+FROM golden g
+JOIN documents d ON d.doc_id = g.img_id % 100000
+"""
+
+
+IMAGE_DECONTAMINATE = _image_decontaminate_sql()

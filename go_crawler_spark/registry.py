@@ -78,10 +78,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  winnow_fingerprints, trustrank,
 # containment_pairs, host_graph_rank, focused_frontier,
-# mirror_hosts, dedup_best_copy, crawl_depth, spam_url_score, and
-# fuzzy_decontaminate, added after the window was frozen, sit last
-# (positions 101-110) with local sf0.001/sf0.01/sf0.3 oracle
-# evidence.
+# mirror_hosts, dedup_best_copy, crawl_depth, spam_url_score,
+# fuzzy_decontaminate, and image_decontaminate, added after the
+# window was frozen, sit last (positions 101-111) with local
+# sf0.001/sf0.01/sf0.3 oracle evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -435,6 +435,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "fuzzy_decontaminate": (
         cleaning.q_fuzzy_decontaminate,
         oracles.FUZZY_DECONTAMINATE,
+    ),
+    "image_decontaminate": (
+        multimodal.q_image_decontaminate,
+        oracles.IMAGE_DECONTAMINATE,
     ),
 }
 

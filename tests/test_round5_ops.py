@@ -1083,3 +1083,87 @@ def test_fuzzy_decontaminate_matches_bruteforce(spark, sf_small):
         if r["contaminated"]
     }
     assert flagged - exact_flagged  # fuzzy catches what exact misses
+
+
+def test_image_decontaminate_matches_bruteforce(spark, sf_small):
+    """Image decontamination equals an in-test pure-Python replay over
+    the full phash corpus (banded candidates + hot-bucket cap +
+    cross-split restriction + closest-eval pick), and the flagged set
+    is exactly the planted near-copies whose twin landed in the eval
+    split — both directions (train base / eval variant and eval base /
+    train variant)."""
+    from go_crawler_spark.functions.multimodal import (
+        _PHASH_BANDS,
+        IMGDECON_EVAL_MOD,
+        IMGDECON_NO_MATCH,
+        PHASH_MAX_BUCKET,
+        PHASH_MAX_HAMMING,
+        PHASH_N_DOCS,
+        PHASH_VARIANT_OFFSET,
+        _phash_rows,
+        q_image_decontaminate,
+    )
+
+    rows = _phash_rows(range(PHASH_N_DOCS))
+    from collections import Counter
+
+    bucket_n: Counter = Counter()
+    for r in rows:
+        h = r["phash"] & 0xFFFFFFFFFFFFFFFF
+        for k in range(_PHASH_BANDS):
+            bucket_n[(k, (h >> (16 * k)) & 0xFFFF)] += 1
+    per_train: dict[int, list[tuple[int, int]]] = {}
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            ea = ra["img_id"] % IMGDECON_EVAL_MOD == 0
+            eb = rb["img_id"] % IMGDECON_EVAL_MOD == 0
+            if ea == eb:
+                continue
+            ha = ra["phash"] & 0xFFFFFFFFFFFFFFFF
+            hb = rb["phash"] & 0xFFFFFFFFFFFFFFFF
+            if not any(
+                (ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                and bucket_n[(k, (ha >> (16 * k)) & 0xFFFF)]
+                <= PHASH_MAX_BUCKET
+                for k in range(_PHASH_BANDS)
+            ):
+                continue
+            t, e = (rb, ra) if ea else (ra, rb)
+            per_train.setdefault(t["img_id"], []).append(
+                (bin(ha ^ hb).count("1"), e["img_id"])
+            )
+    expect = {}
+    for r in rows:
+        t = r["img_id"]
+        if t % IMGDECON_EVAL_MOD == 0:
+            continue
+        ms = per_train.get(t, [])
+        if ms:
+            hm, ev = min(ms)
+            expect[t] = (len(ms), ev, hm, hm <= PHASH_MAX_HAMMING)
+        else:
+            expect[t] = (0, -1, IMGDECON_NO_MATCH, False)
+    got = {
+        r["img_id"]: (r["n_cand"], r["eval_img"], r["hamming"], r["img_contaminated"])
+        for r in q_image_decontaminate(spark, sf_small).collect()
+    }
+    assert got == expect
+    # The flagged set is exactly the planted cross-split near-copies:
+    # bases whose variant is eval (did%10==7, variant_id%7==0 is false,
+    # did%7==2 makes the VARIANT eval) and variants whose base is eval.
+    flagged = {t for t, v in got.items() if v[3]}
+    expect_flagged = set()
+    for did in range(PHASH_N_DOCS):
+        if did % 10 != 7:
+            continue  # no planted variant
+        vid = did + PHASH_VARIANT_OFFSET
+        base_eval = did % IMGDECON_EVAL_MOD == 0
+        var_eval = vid % IMGDECON_EVAL_MOD == 0
+        if var_eval and not base_eval:
+            expect_flagged.add(did)  # train base leaked via eval variant
+        if base_eval and not var_eval:
+            expect_flagged.add(vid)  # train variant leaked via eval base
+    assert flagged == expect_flagged
+    # both leak directions present
+    assert any(t < PHASH_VARIANT_OFFSET for t in flagged)
+    assert any(t >= PHASH_VARIANT_OFFSET for t in flagged)

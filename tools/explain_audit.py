@@ -337,6 +337,14 @@ AUDITED = {
         ["MapInPandas", "Window"],
         ["CartesianProduct"],
     ),
+    # image decontamination: the shared capped phash-band equi-join
+    # (synth kernel + hot-bucket Window) restricted to cross-split
+    # pairs; the closest-eval pick is an img_id-keyed Window. Pixels
+    # never shuffle; never an all-pairs product.
+    "image_decontaminate": (
+        ["MapInPandas", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
     # lexical URL spam gate: every feature is a JVM string expression
     # over the synthesized URL — a pure narrow map, no Exchange at any
     # corpus size (domain_split's plan class)
