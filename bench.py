@@ -207,6 +207,8 @@ def main() -> None:
         "spam_url_score",  # lexical pre-fetch spam gate (Ma 2009)
         "fuzzy_decontaminate",  # near-dup eval leakage (MinHash gate)
         "image_decontaminate",  # phash eval leakage (image twin)
+        "redirect_resolve",  # 3xx alias resolution (pointer doubling)
+        "priority_sample",  # weighted per-source sample (DLT 2007)
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

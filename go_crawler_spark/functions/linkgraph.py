@@ -814,3 +814,122 @@ def q_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- redirect-chain resolution -------------------------------------------------
+# HTTP 3xx chains alias URLs: until every frontier URL is resolved to
+# its terminal target, the URL-seen filter dedupes the alias, not the
+# page, and the same document is fetched once per alias. The
+# reference never sees this set-wise — Playwright's page.Goto follows
+# redirects transparently one URL at a time
+# (/root/reference/internal/infra/browser_client.go:100-104), which is
+# O(chain length) fetches per URL. At 10^10-frontier scale resolution
+# must be a batch operator over the (src → dst) redirect-edge table:
+# pointer doubling (Wyllie's list-ranking jump, JáJá §3.1) squares the
+# resolved distance per round — ptr ← ptr∘ptr, hops ← hops + hops∘ptr
+# — so chains of length ≤ L resolve in ceil(log2 L) self-joins instead
+# of L sequential rounds. Each round shuffles three longs per URL
+# keyed on the 8-byte ptr; terminals are self-loops with hops 0, so
+# the fixpoint is stable and convergence needs no driver-side check.
+#
+# The synthetic redirect graph: doc ids form blocks of REDIR_BLOCK
+# URLs; within block b, chain position pos(r) = (r·5 + b%7) mod 16 is
+# a bijection (5 odd), pos 0 is the HTTP-200 terminal, and every
+# pos p > 0 URL 301s to the block's pos p−1 URL — chain lengths 0..15,
+# phase-shifted per block so the permutation is exercised, not just
+# the identity. A block participates only when all REDIR_BLOCK
+# members exist in the corpus (decided by a census on the data, so
+# ragged tail blocks of any id layout stay terminal). The DuckDB
+# oracle never chases pointers: it inverts the permutation
+# closed-form (5·13 ≡ 1 mod 16), the independent derivation.
+
+REDIR_BLOCK = 16  # URLs per redirect block; max chain length 15
+REDIR_PERM_A = 5  # odd ⇒ r → (r·5 + phase) mod 16 is a bijection
+REDIR_PERM_INV = 13  # 5·13 ≡ 1 (mod 16)
+REDIR_PHASE_MOD = 7  # per-block phase shift of the permutation
+# ceil(log2(max chain 15)) pointer-doubling rounds resolve everything
+REDIR_ROUNDS = 4
+
+
+def redirect_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic (src, dst) redirect-edge table over the DISTINCT
+    doc-id URL set (a corpus row is an observation, a URL is a node):
+    within each FULL block of REDIR_BLOCK consecutive ids, the pos
+    p > 0 URL 301s to the pos p−1 URL of the same block. Fullness is
+    decided by the data (all REDIR_BLOCK members present), not by an
+    id-density assumption, so ragged tail blocks of any id layout stay
+    terminal and no edge ever dangles. The block census is a partial
+    aggregate on the 8-byte block key. Consumers treat the edges as
+    opaque: resolution below never uses this law."""
+    docs = docs.select("doc_id").distinct()
+    blk = _wide_floordiv(
+        F.col("doc_id"), F.lit(REDIR_BLOCK).cast("long")
+    )
+    full = (
+        docs.groupBy(blk.alias("blk"))
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") == REDIR_BLOCK)
+        .select("blk")
+    )
+    r = F.col("doc_id") % REDIR_BLOCK
+    phase = F.col("blk") % REDIR_PHASE_MOD
+    pos = (r * REDIR_PERM_A + phase) % REDIR_BLOCK
+    # parent residue: pos−1 run back through the inverse permutation
+    # (+REDIR_BLOCK keeps the argument non-negative before the mod)
+    parent_r = (
+        (pos - 1 - phase + REDIR_BLOCK) * REDIR_PERM_INV
+    ) % REDIR_BLOCK
+    return (
+        docs.withColumn("blk", blk)
+        .join(full, "blk")
+        .filter(pos > 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - r + parent_r).alias("dst"),
+        )
+    )
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_terminal, final_url, n_hops) — every URL resolved to
+    its terminal (HTTP-200) target through the redirect-edge table by
+    pointer doubling: REDIR_ROUNDS self-joins keyed on the 8-byte ptr,
+    per-URL state three longs, never a per-row chase. Resolution runs
+    over the DISTINCT URL node set (duplicate corpus rows would both
+    multiply the pointer joins and shadow the tail-block boundary);
+    results join back to every corpus row at the end."""
+    rows = load(spark, sf_dir, "documents").select("doc_id")
+    docs = rows.distinct()
+    edges = redirect_edges(docs)
+    state = (
+        docs.join(edges, docs["doc_id"] == edges["src"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(edges["dst"], docs["doc_id"]).alias("ptr"),
+            F.when(edges["dst"].isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("hops"),
+        )
+    )
+    for _ in range(REDIR_ROUNDS):
+        hop = state.select(
+            F.col("doc_id").alias("jump_key"),
+            F.col("ptr").alias("jump_ptr"),
+            F.col("hops").alias("jump_hops"),
+        )
+        state = (
+            state.join(hop, state["ptr"] == hop["jump_key"])
+            .select(
+                "doc_id",
+                F.col("jump_ptr").alias("ptr"),
+                (F.col("hops") + F.col("jump_hops")).alias("hops"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return rows.join(state, "doc_id").select(
+        "doc_id",
+        (F.col("hops") == 0).alias("is_terminal"),
+        F.col("ptr").alias("final_url"),
+        F.col("hops").alias("n_hops"),
+    )

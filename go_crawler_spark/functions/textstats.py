@@ -690,3 +690,86 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return placed.select(
         "doc_id", "n_tokens", "rank", shard.cast("long").alias("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling per source (Duffield, Lund & Thorup,
+# "Priority sampling for estimation of arbitrary subset sums", JACM
+# 54(6), 2007; the bottom-k weighted-sketch family of Cohen & Kaplan).
+# Each document draws priority q = w/u with u uniform in (0,1]; the k
+# highest-priority docs per source form the sample, and ŵ = max(w, τ)
+# with τ the (k+1)-th priority makes any subset-sum estimate unbiased.
+# This is the corpus-subsampling step of a training-data pipeline when
+# "take k docs per source" must still weight by length.
+#
+# Determinism for the oracle: u = h/2^31 with h the two-round MINSTD
+# hash already used by the train-mix gate, and the ORDER is defined on
+# the integer key floor(w·2^31/h) (exact via DECIMAL(38,0) here,
+# HUGEINT // in DuckDB) with doc_id as the tie-break — both engines
+# rank bit-identically at any SF. τ and ŵ stay in the same ×2^31
+# integer scale (w < 2^31 always for a single document's char count,
+# so w·2^31 < 2^62 never overflows a long).
+#
+# Shape: the hot-path hazard of per-group top-k is one giant source
+# partition (a 100 TB corpus is a few sources). Same fix as the
+# engine's politeness dequeue: a salted two-phase window — phase 1
+# ranks within (source, doc_id%PRIO_SALT) and keeps k+1 per salt
+# (the global top-(k+1) of a source are necessarily inside their
+# salt's top-(k+1)), phase 2 ranks the ≤ PRIO_SALT·(k+1) survivors.
+# The full corpus shuffles once on the salted key; the unsalted window
+# only ever sees bounded per-source state.
+# --------------------------------------------------------------------------
+
+PRIO_K = 8  # sample size per source
+PRIO_SALT = 4  # phase-1 salt fan-out
+PRIO_SCALE = 2_147_483_648  # 2^31: u = h/2^31, priorities ×2^31
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, w, prio_key, rk, tau_key, w_hat_scaled) — the
+    PRIO_K highest-priority docs per source under Duffield-Lund-Thorup
+    priority sampling with weight w = n_chars, plus the τ threshold
+    and the unbiased per-doc estimate ŵ = max(w, τ) (×PRIO_SCALE)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.greatest(F.col("n_chars"), F.lit(1)).alias("w")
+    )
+    h = (F.col("doc_id") % SAMPLE_P31) * SAMPLE_MINSTD % SAMPLE_P31
+    h = h * SAMPLE_MINSTD % SAMPLE_P31 + 1  # in [1, 2^31−1]
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        "w",
+        _mul_floordiv_wide(
+            F.col("w"), F.lit(PRIO_SCALE).cast("long"), h.cast("long")
+        ).alias("prio_key"),
+    )
+    order = [F.col("prio_key").desc(), F.col("doc_id").asc()]
+    w_salt = _W.partitionBy(
+        "source", (F.col("doc_id") % PRIO_SALT).alias("salt")
+    ).orderBy(*order)
+    local = keyed.withColumn(
+        "lrk", F.row_number().over(w_salt)
+    ).filter(F.col("lrk") <= PRIO_K + 1)
+    w_src = _W.partitionBy("source").orderBy(*order)
+    ranked = local.withColumn(
+        "rk", F.row_number().over(w_src).cast("long")
+    ).withColumn(
+        "tau_key",
+        F.coalesce(
+            F.max(
+                F.when(F.col("rk") == PRIO_K + 1, F.col("prio_key"))
+            ).over(_W.partitionBy("source")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return ranked.filter(F.col("rk") <= PRIO_K).select(
+        "source",
+        "doc_id",
+        "w",
+        "prio_key",
+        "rk",
+        "tau_key",
+        F.greatest(
+            F.col("w") * F.lit(PRIO_SCALE).cast("long"), F.col("tau_key")
+        ).alias("w_hat_scaled"),
+    )

@@ -3952,3 +3952,89 @@ JOIN documents d ON d.doc_id = g.img_id % 100000
 
 
 IMAGE_DECONTAMINATE = _image_decontaminate_sql()
+
+
+# --- redirect-chain resolution -------------------------------------------------
+# Mirrors linkgraph.q_redirect_resolve WITHOUT chasing pointers: the
+# engine resolves chains by pointer doubling over the opaque edge
+# table; the oracle inverts the block permutation closed-form
+# (REDIR_PERM_INV·REDIR_PERM_A ≡ 1 mod REDIR_BLOCK), so the two
+# derivations share only the synthesis law. All-integer; docs in
+# ragged (not fully present) blocks are self-terminal with zero hops.
+
+
+def _redirect_resolve_sql() -> str:
+    from go_crawler_spark.functions.linkgraph import (
+        REDIR_BLOCK,
+        REDIR_PERM_A,
+        REDIR_PERM_INV,
+        REDIR_PHASE_MOD,
+    )
+
+    B, A, INV, PM = REDIR_BLOCK, REDIR_PERM_A, REDIR_PERM_INV, REDIR_PHASE_MOD
+    return f"""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+full_blocks AS (
+  SELECT doc_id // {B} AS blk FROM ids
+  GROUP BY 1 HAVING count(*) = {B}),
+d AS (
+  SELECT doc_id,
+         doc_id % {B} AS r,
+         (doc_id // {B}) % {PM} AS phase,
+         ((doc_id % {B}) * {A} + (doc_id // {B}) % {PM}) % {B} AS pos,
+         EXISTS (SELECT 1 FROM full_blocks f
+                 WHERE f.blk = documents.doc_id // {B}) AS in_block
+  FROM documents)
+SELECT doc_id,
+       (NOT in_block) OR pos = 0 AS is_terminal,
+       CAST(CASE WHEN in_block
+            THEN doc_id - r + (({B} - phase) * {INV}) % {B}
+            ELSE doc_id END AS BIGINT) AS final_url,
+       CAST(CASE WHEN in_block THEN pos ELSE 0 END AS BIGINT) AS n_hops
+FROM d
+"""
+
+
+REDIRECT_RESOLVE = _redirect_resolve_sql()
+
+
+# --- weighted priority sampling ------------------------------------------------
+# Mirrors textstats.q_priority_sample with ONE plain window per source
+# (the engine's salted two-phase window is an execution strategy, not
+# a semantics change): identical MINSTD hash, identical integer key
+# floor(w·2^31/h) via HUGEINT //, identical τ and ŵ scale.
+
+
+def _priority_sample_sql() -> str:
+    from go_crawler_spark.functions.textstats import (
+        PRIO_K,
+        PRIO_SCALE,
+        SAMPLE_MINSTD,
+        SAMPLE_P31,
+    )
+
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, GREATEST(n_chars, 1) AS w,
+         CAST((CAST(GREATEST(n_chars, 1) AS HUGEINT) * {PRIO_SCALE})
+              // (doc_id % {SAMPLE_P31} * {SAMPLE_MINSTD} % {SAMPLE_P31}
+                  * {SAMPLE_MINSTD} % {SAMPLE_P31} + 1) AS BIGINT)
+           AS prio_key
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, w, prio_key,
+         CAST(row_number() OVER (PARTITION BY source
+                ORDER BY prio_key DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM keyed),
+tau AS (
+  SELECT source, doc_id, w, prio_key, rk,
+         COALESCE(MAX(CASE WHEN rk = {PRIO_K + 1} THEN prio_key END)
+                  OVER (PARTITION BY source), 0) AS tau_key
+  FROM ranked)
+SELECT source, doc_id, w, prio_key, rk, tau_key,
+       GREATEST(w * {PRIO_SCALE}, tau_key) AS w_hat_scaled
+FROM tau WHERE rk <= {PRIO_K}
+"""
+
+
+PRIORITY_SAMPLE = _priority_sample_sql()

@@ -79,9 +79,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the order itself.  winnow_fingerprints, trustrank,
 # containment_pairs, host_graph_rank, focused_frontier,
 # mirror_hosts, dedup_best_copy, crawl_depth, spam_url_score,
-# fuzzy_decontaminate, and image_decontaminate, added after the
-# window was frozen, sit last (positions 101-111) with local
-# sf0.001/sf0.01/sf0.3 oracle evidence.
+# fuzzy_decontaminate, image_decontaminate, redirect_resolve, and
+# priority_sample, added after the window was frozen, sit last
+# (positions 101-113) with local sf0.001/sf0.01/sf0.3 oracle
+# evidence.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -439,6 +440,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "image_decontaminate": (
         multimodal.q_image_decontaminate,
         oracles.IMAGE_DECONTAMINATE,
+    ),
+    # 3xx alias resolution by pointer doubling (closed-form oracle)
+    "redirect_resolve": (
+        linkgraph.q_redirect_resolve,
+        oracles.REDIRECT_RESOLVE,
+    ),
+    # Duffield-Lund-Thorup weighted sample + unbiased ŵ per source
+    "priority_sample": (
+        textstats.q_priority_sample,
+        oracles.PRIORITY_SAMPLE,
     ),
 }
 

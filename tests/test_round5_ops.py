@@ -1167,3 +1167,104 @@ def test_image_decontaminate_matches_bruteforce(spark, sf_small):
     # both leak directions present
     assert any(t < PHASH_VARIANT_OFFSET for t in flagged)
     assert any(t >= PHASH_VARIANT_OFFSET for t in flagged)
+
+
+def test_redirect_resolve_matches_bruteforce(spark, sf_small):
+    """Pointer-doubling resolution equals a sequential pointer chase
+    over the engine's own edge table (independent of the oracle's
+    closed-form permutation inverse), chains are acyclic and shorter
+    than the block, and every full block realizes every chain length
+    0..REDIR_BLOCK−1 exactly once."""
+    from go_crawler_spark.functions.linkgraph import (
+        REDIR_BLOCK,
+        q_redirect_resolve,
+        redirect_edges,
+    )
+
+    docs_df = load(spark, sf_small, "documents").select("doc_id")
+    ids = [r["doc_id"] for r in docs_df.collect()]
+    nxt = {r["src"]: r["dst"] for r in redirect_edges(docs_df).collect()}
+    expect = {}
+    for d in ids:
+        cur, hops = d, 0
+        while cur in nxt:
+            cur = nxt[cur]
+            hops += 1
+            assert hops < REDIR_BLOCK
+        expect[d] = (hops == 0, cur, hops)
+    got = {
+        r["doc_id"]: (r["is_terminal"], r["final_url"], r["n_hops"])
+        for r in q_redirect_resolve(spark, sf_small).collect()
+    }
+    assert got == expect
+    from collections import Counter
+
+    members = Counter(d // REDIR_BLOCK for d in ids)
+    full = {b for b, c in members.items() if c == REDIR_BLOCK}
+    ragged = len(ids) - len(full) * REDIR_BLOCK
+    lengths: dict[int, set[int]] = {}
+    for d, (_, _, h) in got.items():
+        if d // REDIR_BLOCK in full:
+            lengths.setdefault(d // REDIR_BLOCK, set()).add(h)
+    assert lengths and all(
+        s == set(range(REDIR_BLOCK)) for s in lengths.values()
+    )
+    n_term = sum(1 for t, _, _ in got.values() if t)
+    assert n_term == len(full) + ragged
+
+
+def test_priority_sample_matches_bruteforce(spark, sf_small):
+    """Salted two-phase top-k equals the full per-source sort: same
+    sample membership, ranks, τ threshold, and ŵ estimates as a
+    pure-Python replay of the Duffield-Lund-Thorup definition."""
+    from collections import defaultdict
+
+    from go_crawler_spark.functions.textstats import (
+        PRIO_K,
+        PRIO_SCALE,
+        SAMPLE_MINSTD,
+        SAMPLE_P31,
+        q_priority_sample,
+    )
+
+    rows = (
+        load(spark, sf_small, "documents")
+        .select("source", "doc_id", "n_chars")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        w = max(r["n_chars"], 1)
+        h = (
+            (r["doc_id"] % SAMPLE_P31)
+            * SAMPLE_MINSTD
+            % SAMPLE_P31
+            * SAMPLE_MINSTD
+            % SAMPLE_P31
+            + 1
+        )
+        groups[r["source"]].append((w * PRIO_SCALE // h, r["doc_id"], w))
+    expect = {}
+    counts = {}
+    for src, items in groups.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tau = items[PRIO_K][0] if len(items) > PRIO_K else 0
+        counts[src] = min(PRIO_K, len(items))
+        for rk, (key, did, w) in enumerate(items[:PRIO_K], 1):
+            expect[(src, did)] = (w, key, rk, tau, max(w * PRIO_SCALE, tau))
+    sampled = q_priority_sample(spark, sf_small).collect()
+    got = {
+        (r["source"], r["doc_id"]): (
+            r["w"],
+            r["prio_key"],
+            r["rk"],
+            r["tau_key"],
+            r["w_hat_scaled"],
+        )
+        for r in sampled
+    }
+    assert got == expect
+    per_src = defaultdict(int)
+    for src, _ in got:
+        per_src[src] += 1
+    assert dict(per_src) == counts

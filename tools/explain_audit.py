@@ -562,6 +562,23 @@ AUDITED = {
         ["LeftSemi", "HashAggregate"],
         ["CartesianProduct", "Window"],
     ),
+    # redirect resolution: REDIR_ROUNDS pointer-doubling self-joins on
+    # the 8-byte ptr key, per-round state three longs per URL. The
+    # per-round localCheckpoints truncate lineage (rounds show as Scan
+    # ExistingRDD); the visible plan is the final long-keyed equi-join
+    # — never a window, never an all-pairs product.
+    "redirect_resolve": (
+        ["Exchange"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
+    # priority sampling: the corpus-wide window is SALTED — partitioned
+    # on (source, doc_id%PRIO_SALT) — and the unsalted per-source
+    # window only sees the ≤ PRIO_SALT·(k+1) survivors; no global
+    # sort, no product.
+    "priority_sample": (
+        ["Window", "row_number"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    ),
 }
 
 
