@@ -1660,3 +1660,306 @@ def q_dedup_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# --- dihedral-invariant perceptual hash ---------------------------------------
+# Mirrored and rotated re-posts (the watermark-evading flip class) sit
+# ~32 bits from their original under plain phash — invisible to every
+# Hamming-threshold dedup above. The dihedral-canonical hash closes
+# that hole: min over the 8 symmetries of the square (4 rotations × 2
+# flips), so an image and any flipped/rotated copy share one exact
+# 64-bit signature and dedup becomes a hash groupBy again.
+#
+# The 100 TB trick is WHERE the 8 variants come from. The hash is an
+# 8×8 block grid, and a dihedral transform of the pixels permutes
+# those 64 blocks exactly (32 divides into 8 uniform 4-px blocks; the
+# grid total is symmetry-invariant) — so the kernel computes ONE hash
+# from pixels and derives the other 7 by permuting its 64 bits: pure
+# integer ops on an 8-byte value, ~500× cheaper than re-hashing pixels
+# 8 times, and the canonical hash costs the same map-side pass as the
+# plain one. The permutation algebra demands integer-exact block
+# comparisons: codec.phash64's float block means re-round when a flip
+# reorders the summation (measured: 1-in-330 boundary bit flips), so
+# this op hashes with phash64_int — the same 8×8 average-hash decided
+# by 64·block_sum > grid_sum over exact int64s, permutation-invariant
+# by construction. The golden oracle deliberately takes the other road
+# (transform the PIXELS 8 times, re-hash each through phash64_int),
+# so the bit-permutation algebra is verified against the pixel-space
+# ground truth rather than against itself.
+#
+# Reference analog: none — the reference crawler (nrad-K/go-crawler)
+# stores page bodies opaquely; image-level dedup is this repo's
+# training-pipeline extension (same family as q_phash_neardup).
+
+DIH_VARIANT_OFFSET = 300_000  # planted transformed copy: doc_id + offset
+DIH_PLANT_MOD = 10  # doc_id % 10 == 3 → a dihedral copy exists
+_DIH_SHIFTS = np.uint64(63) - np.arange(64, dtype=np.uint64)
+
+
+def phash64_int(px: np.ndarray) -> int:
+    """Integer-exact 8×8 average-hash: bit b = (64·block_sum_b >
+    grid_sum) over exact int64 channel sums — the same hash family as
+    codec.phash64 but with no float anywhere, so block values permute
+    EXACTLY under dihedral transforms (codec's float means re-round
+    when a flip reorders the block summation). Requires dimensions
+    divisible by 8 (the 32×32 corpus)."""
+    s = px.astype(np.int64).sum(axis=2)
+    h, w = s.shape
+    assert h % 8 == 0 and w % 8 == 0, (h, w)
+    blocks = s.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    val = 0
+    for bit in blocks.flatten() * 64 > total:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def dihedral_transform(px: np.ndarray, k: int) -> np.ndarray:
+    """Element k of the dihedral group D4 on a square image: optional
+    horizontal flip (k >= 4), then k % 4 CCW quarter-rotations."""
+    if k >= 4:
+        px = px[:, ::-1]
+    return np.rot90(px, k % 4)
+
+
+def _dih_perms() -> np.ndarray:
+    """(8, 64) bit-index permutations: variant k's flattened block j is
+    the plain hash's block _DIH_PERMS[k][j]. Built by applying the SAME
+    numpy transforms to an 8×8 index grid that dihedral_transform
+    applies to pixels, so the permutation is correct by construction."""
+    idx = np.arange(64).reshape(8, 8)
+    return np.stack(
+        [dihedral_transform(idx, k).flatten() for k in range(8)]
+    )
+
+
+_DIH_PERMS = _dih_perms()
+
+
+def dihedral_min_hash(phash: int) -> int:
+    """Canonical (min-over-D4) hash from ONE plain phash via bit
+    permutation — no pixels touched. Unsigned min; signed int64 out."""
+    h = np.uint64(phash & 0xFFFFFFFFFFFFFFFF)
+    bits = (h >> _DIH_SHIFTS) & np.uint64(1)  # bits[i] = block i (row-major)
+    weights = np.uint64(1) << _DIH_SHIFTS
+    variants = (bits[_DIH_PERMS] * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    canon = int(variants.min())
+    return canon - (1 << 64) if canon >= (1 << 63) else canon
+
+
+def _dih_rows(doc_ids) -> list[dict]:
+    """Deterministic corpus: one base image per doc plus, for doc_id %
+    DIH_PLANT_MOD == 3, a flipped/rotated copy (non-identity element
+    1 + doc_id % 7 — all seven symmetries exercised across the corpus).
+    Each row carries the plain phash (from pixels, via the
+    integer-exact kernel) and the bit-permutation canonical hash."""
+    rows = []
+    for did in doc_ids:
+        did = int(did)
+        px = _phash_pixels(did)
+        for img_id, pixels in (
+            (did, px),
+            *(
+                ((did + DIH_VARIANT_OFFSET,
+                  dihedral_transform(px, 1 + did % 7)),)
+                if did % DIH_PLANT_MOD == 3
+                else ()
+            ),
+        ):
+            ph = phash64_int(np.ascontiguousarray(pixels))
+            rows.append(
+                {
+                    "img_id": img_id,
+                    "phash": ph,
+                    "dihedral_phash": dihedral_min_hash(ph),
+                }
+            )
+    return rows
+
+
+def dihedral_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < PHASH_N_DOCS
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = _dih_rows(pdf["doc_id"])
+            yield pd.DataFrame(
+                rows, columns=["img_id", "phash", "dihedral_phash"]
+            )
+
+    return docs.mapInPandas(
+        synth, schema="img_id long, phash long, dihedral_phash long"
+    )
+
+
+def q_phash_dihedral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flip/rotation-invariant exact dedup groups: (img_id, phash,
+    dihedral_phash, canon_img, group_size) — images sharing a
+    dihedral-canonical hash group together (canon_img = min img_id),
+    catching the mirrored-re-post class plain phash Hamming misses.
+
+    Scale shape: pixels decode map-side and emit two longs; grouping is
+    one groupBy + join back on the 8-byte canonical hash — the exact-
+    dedup plan (textstats.q_exact_dedup), never a pixel shuffle, never
+    a pairwise compare."""
+    corpus = dihedral_corpus(spark, sf_dir)
+    groups = corpus.groupBy("dihedral_phash").agg(
+        F.min("img_id").alias("canon_img"),
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+    )
+    return corpus.join(groups, "dihedral_phash").select(
+        "img_id", "phash", "dihedral_phash", "canon_img", "group_size"
+    )
+
+
+def phash_dihedral_golden() -> list[tuple[int, int, int, int, int]]:
+    """Pure-Python replay via the PIXEL road: every row's canonical
+    hash is min over phash64_int of the 8 dihedral_transform'd pixel
+    arrays — never the bit permutation the engine uses — then the
+    same min/count grouping, brute-forced."""
+    rows = []
+    for did in range(PHASH_N_DOCS):
+        px = _phash_pixels(did)
+        imgs = [(did, px)]
+        if did % DIH_PLANT_MOD == 3:
+            imgs.append(
+                (did + DIH_VARIANT_OFFSET, dihedral_transform(px, 1 + did % 7))
+            )
+        for img_id, pixels in imgs:
+            ph = phash64_int(np.ascontiguousarray(pixels))
+            variants = [
+                phash64_int(
+                    np.ascontiguousarray(dihedral_transform(pixels, k))
+                )
+                & 0xFFFFFFFFFFFFFFFF
+                for k in range(8)
+            ]
+            canon = min(variants)
+            canon = canon - (1 << 64) if canon >= (1 << 63) else canon
+            rows.append((img_id, ph, canon))
+    by_canon: dict[int, list[int]] = {}
+    for img_id, _, canon in rows:
+        by_canon.setdefault(canon, []).append(img_id)
+    return sorted(
+        (img_id, ph, canon, min(by_canon[canon]), len(by_canon[canon]))
+        for img_id, ph, canon in rows
+    )
+
+
+# --- phash threshold accuracy audit -------------------------------------------
+# "Which Hamming threshold?" is the decision every phash dedup above
+# hard-codes (PHASH_MAX_HAMMING = 8); this operator MEASURES it: the
+# full precision/recall sweep over t = 0..PHAUDIT_MAX_T against the
+# corpus's planted ground truth (the brightness-edited variants at
+# img_id = base + PHASH_VARIANT_OFFSET). A curation pipeline runs this
+# on a labeled sample, reads off the t where false positives explode,
+# and applies that t to the 100 TB corpus — measured, not guessed.
+#
+# Scale shape: the only full-data work is the shared capped banded
+# candidate join (phash_candidate_pairs — 4 int rows per image, hot
+# buckets dropped); the sweep itself aggregates candidates to a
+# ≤65-row (hamming, counts) table map-side, and the 17-threshold grid
+# joins THAT, so threshold tuning is free at any corpus size. Recall's
+# denominator counts ALL planted pairs, so banding misses (a true pair
+# sharing no band) land in n_fn — the audit grades the whole pipeline,
+# not just the rerank.
+
+PHAUDIT_MAX_T = 16  # sweep Hamming thresholds 0..16
+
+
+def q_phash_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, n_flagged, n_tp, n_fp, n_fn, n_true_total) for each Hamming
+    threshold t = 0..PHAUDIT_MAX_T over the banded phash candidates:
+    pairs flagged at ≤ t, true/false positives against the planted
+    variant truth, and misses (including pairs banding never saw)."""
+    corpus = phash_corpus(spark, sf_dir)
+    cand = phash_candidate_pairs(corpus)
+    is_true = (F.col("img_b") - F.col("img_a")) == PHASH_VARIANT_OFFSET
+    per_h = cand.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_h"),
+        F.sum(F.when(is_true, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_true_at_h"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in range(PHAUDIT_MAX_T + 1)], "t long"
+    )
+    swept = (
+        grid.join(F.broadcast(per_h), F.col("hamming") <= F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum("n_at_h"), F.lit(0))
+            .cast("long")
+            .alias("n_flagged"),
+            F.coalesce(F.sum("n_true_at_h"), F.lit(0))
+            .cast("long")
+            .alias("n_tp"),
+        )
+    )
+    total = corpus.filter(F.col("img_id") >= PHASH_VARIANT_OFFSET).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_total")
+    )
+    return swept.crossJoin(F.broadcast(total)).select(
+        "t",
+        "n_flagged",
+        "n_tp",
+        (F.col("n_flagged") - F.col("n_tp")).cast("long").alias("n_fp"),
+        (F.col("n_true_total") - F.col("n_tp")).cast("long").alias("n_fn"),
+        "n_true_total",
+    )
+
+
+def phash_threshold_audit_golden(
+    max_bucket: int = PHASH_MAX_BUCKET,
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Pure-Python replay: brute-force capped banded candidates (same
+    rule as phash_neardup_golden, no distance cutoff), then the per-
+    threshold precision/recall counts."""
+    import collections
+
+    rows = _phash_rows(range(PHASH_N_DOCS))
+    bucket_n: collections.Counter = collections.Counter()
+    for r in rows:
+        h = r["phash"] & 0xFFFFFFFFFFFFFFFF
+        for k in range(_PHASH_BANDS):
+            bucket_n[(k, (h >> (16 * k)) & 0xFFFF)] += 1
+    cands = []  # (hamming, is_true)
+    for i, ra in enumerate(rows):
+        for rb in rows[i + 1 :]:
+            x, y = sorted((ra, rb), key=lambda r: r["img_id"])
+            ha = x["phash"] & 0xFFFFFFFFFFFFFFFF
+            hb = y["phash"] & 0xFFFFFFFFFFFFFFFF
+            shares_band = any(
+                (ha >> (16 * k)) & 0xFFFF == (hb >> (16 * k)) & 0xFFFF
+                and bucket_n[(k, (ha >> (16 * k)) & 0xFFFF)] <= max_bucket
+                for k in range(_PHASH_BANDS)
+            )
+            if shares_band:
+                cands.append(
+                    (
+                        bin(ha ^ hb).count("1"),
+                        y["img_id"] - x["img_id"] == PHASH_VARIANT_OFFSET,
+                    )
+                )
+    n_true_total = sum(
+        1 for r in rows if r["img_id"] >= PHASH_VARIANT_OFFSET
+    )
+    out = []
+    for t in range(PHAUDIT_MAX_T + 1):
+        flagged = [c for c in cands if c[0] <= t]
+        tp = sum(1 for c in flagged if c[1])
+        out.append(
+            (
+                t,
+                len(flagged),
+                tp,
+                len(flagged) - tp,
+                n_true_total - tp,
+                n_true_total,
+            )
+        )
+    return out

@@ -270,3 +270,81 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_count",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set operations — union and intersection of two sketches. Two
+# crawler fleets each keep a 256-register seen-URL sketch; "how much of
+# fleet B's coverage is new?" is a register-wise max (union) plus
+# inclusion-exclusion (|A∩B| ≈ est(A) + est(B) − est(A∪B)) — answered
+# from 2×256 bytes of mergeable state with ZERO re-scan of either
+# fleet's history. This is the operational payoff of HLL's mergeability
+# that q_hll_distinct's single sketch can't show: the union estimate is
+# computed from the two register TABLES (never the raw keys), so the
+# plan's only full-data pass is building the per-fleet sketches.
+#
+# Determinism: each raw estimate is dyadic-exact per the module-doc
+# argument; est_a + est_b − est_union is left-associated identically in
+# both engines (two correctly-rounded IEEE ops on deterministic
+# doubles). The exact side (inclusion-exclusion over real distincts)
+# rides along as the audit, same as q_hll_distinct.
+# --------------------------------------------------------------------------
+
+
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union/intersection cardinality of two 'crawl shard' key sets —
+    lineitem order keys split by supplier parity (shard A: even
+    l_suppkey, shard B: odd; most orders have lineitems in both, so the
+    overlap is large and the inclusion-exclusion step does real work).
+    One row: (m, est_a, est_b, est_union, est_intersect, exact_a,
+    exact_b, exact_union, exact_intersect).
+
+    Plan: two narrow filtered passes → 256-row register tables; the
+    union sketch is a ≤512-row unionByName + groupBy max (the merge
+    operator itself — no key ever re-read); estimates and exacts
+    broadcast-crossJoin into the single output row."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k"),
+        (F.col("l_suppkey") % 2 == 0).alias("in_a"),
+    )
+    regs_a = hll_registers(li.filter(F.col("in_a")).select("k"), "k")
+    regs_b = hll_registers(li.filter(~F.col("in_a")).select("k"), "k")
+    regs_u = (
+        regs_a.unionByName(regs_b)
+        .groupBy("register")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    est_a = hll_estimate(regs_a).select(F.col("raw_estimate").alias("est_a"))
+    est_b = hll_estimate(regs_b).select(F.col("raw_estimate").alias("est_b"))
+    est_u = hll_estimate(regs_u).select(
+        "m", F.col("raw_estimate").alias("est_union")
+    )
+    exact = li.agg(
+        F.countDistinct(F.when(F.col("in_a"), F.col("k")))
+        .cast("long")
+        .alias("exact_a"),
+        F.countDistinct(F.when(~F.col("in_a"), F.col("k")))
+        .cast("long")
+        .alias("exact_b"),
+        F.countDistinct("k").cast("long").alias("exact_union"),
+    )
+    return (
+        est_u.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "m",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .cast("long")
+            .alias("exact_intersect"),
+        )
+    )

@@ -598,11 +598,10 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_C = 10
 
 
-def q_ngram_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(c, n_bigrams): how many distinct word bigrams occur exactly c
-    times (c ≤ CC_MAX_C; everything rarer-than-rare pools at
-    CC_MAX_C + 1). Bigrams are adjacent lowercased word pairs."""
-    docs = load(spark, sf_dir, "documents")
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """(bigram, c0): occurrence count per distinct adjacent lowercased
+    word pair — the one corpus-wide shuffle every count-of-counts
+    consumer (N_c table, Good-Turing discounts) shares."""
     toks = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda t: t != ""
     )
@@ -619,9 +618,16 @@ def q_ngram_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("bigram")
     )
-    counts = grams.groupBy("bigram").agg(
+    return grams.groupBy("bigram").agg(
         F.count(F.lit(1)).cast("long").alias("c0")
     )
+
+
+def q_ngram_count_of_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c, n_bigrams): how many distinct word bigrams occur exactly c
+    times (c ≤ CC_MAX_C; everything rarer-than-rare pools at
+    CC_MAX_C + 1). Bigrams are adjacent lowercased word pairs."""
+    counts = bigram_counts(load(spark, sf_dir, "documents"))
     bucketed = counts.select(
         F.when(F.col("c0") <= CC_MAX_C, F.col("c0"))
         .otherwise(F.lit(CC_MAX_C + 1))
@@ -772,4 +778,63 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(
             F.col("w") * F.lit(PRIO_SCALE).cast("long"), F.col("tau_key")
         ).alias("w_hat_scaled"),
+    )
+
+# --------------------------------------------------------------------------
+# Good-Turing discounted counts (Good 1953; Chen & Goodman 1998 §2.3):
+# the smoothing step the count-of-counts table above exists to feed.
+# r* = (r+1)·N_{r+1}/N_r re-estimates the frequency of every bigram
+# seen r times, and p0 = N_1/N is the probability mass the estimator
+# reserves for bigrams never seen — the number an LM-quality gate reads
+# to decide if a corpus slice is too sparse to score. The corpus-wide
+# work is exactly bigram_counts' one hashed shuffle; everything GT adds
+# runs on the ≤GT_MAX_R-row N_r table (a broadcast-joined grid), so the
+# discount table costs the same at 100 TB as at 100 MB.
+#
+# Engine parity: N_r, N_{r+1}, and N are exact integers; r* and p0 are
+# single correctly-rounded IEEE divisions of exact int64 products
+# ((r+1)·N_{r+1} ≤ 9·corpus bigrams ≪ 2^63), identical in both engines.
+# --------------------------------------------------------------------------
+
+GT_MAX_R = 8  # discounts for r = 1..8; LM smoothers only read small r
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, n_r, n_r1, r_star, total_grams, p0_unseen) for each count
+    class r = 1..GT_MAX_R present in the corpus: the class size N_r,
+    the next class N_{r+1} (0 if absent), the Good-Turing discounted
+    count r* = (r+1)·N_{r+1}/N_r, the total bigram occurrences N, and
+    the unseen mass p0 = N_1/N (constant columns repeated per row)."""
+    counts = bigram_counts(load(spark, sf_dir, "documents"))
+    nc = counts.groupBy(F.col("c0").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nc1 = nc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    grid = spark.createDataFrame(
+        [(r,) for r in range(1, GT_MAX_R + 1)], "r long"
+    )
+    totals = counts.agg(
+        F.sum("c0").cast("long").alias("total_grams"),
+        F.sum(F.when(F.col("c0") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+    )
+    return (
+        grid.join(F.broadcast(nc), "r")
+        .join(F.broadcast(nc1), "r", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r1"), F.lit(0).cast("long")).alias("n_r1"),
+            (
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r1"), F.lit(0).cast("long"))
+                / F.col("n_r")
+            ).alias("r_star"),
+            "total_grams",
+            (F.col("n1") / F.col("total_grams")).alias("p0_unseen"),
+        )
     )

@@ -4038,3 +4038,188 @@ FROM tau WHERE rk <= {PRIO_K}
 
 
 PRIORITY_SAMPLE = _priority_sample_sql()
+
+# --- HLL set operations -------------------------------------------------------
+# Mirrors sketches.q_hll_set_ops — identical hash/register/rank math as
+# HLL_DISTINCT, built per shard (l_suppkey parity), the union sketch as
+# a register-wise MAX over the two register tables, and the
+# inclusion-exclusion intersection with the same left-associated
+# double arithmetic. Exact side via COUNT(DISTINCT CASE ...).
+
+
+def _hll_set_ops_sql() -> str:
+    from go_crawler_spark.functions.sketches import (
+        HLL_M,
+        HLL_MIX_A,
+        HLL_MIX_B,
+        HLL_VALUE_BITS,
+    )
+
+    r1 = HLL_VALUE_BITS + 1
+
+    def est(regs: str, alias: str, with_m: bool = False) -> str:
+        m_col = f"CAST({HLL_M} AS INT) AS m,\n         " if with_m else ""
+        return f"""
+  SELECT {m_col}CAST(0.7213 AS DOUBLE)
+           / (CAST(1.0 AS DOUBLE)
+              + CAST(1.079 AS DOUBLE) / CAST({HLL_M} AS DOUBLE))
+           * CAST({HLL_M} AS DOUBLE) * CAST({HLL_M} AS DOUBLE)
+           / (SUM(power(CAST(2.0 AS DOUBLE), -m_rank))
+              + CAST({HLL_M} - count(*) AS DOUBLE)) AS {alias}
+  FROM {regs}"""
+
+    regs = (
+        f"SELECT h % {HLL_M} AS register,\n"
+        f"         MAX(CASE WHEN h // {HLL_M} = 0 THEN {r1}\n"
+        f"                  ELSE {r1} - length(bin(h // {HLL_M})) END)"
+        f" AS m_rank\n"
+    )
+    return f"""
+WITH keys AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS k, (l_suppkey % 2 = 0) AS in_a
+  FROM lineitem),
+hashed AS (
+  SELECT (({_poly_hash_sql('k')} * {HLL_MIX_A}) % {P31} * {HLL_MIX_B})
+           % {P31} AS h,
+         in_a
+  FROM keys),
+regs_a AS (
+  {regs}  FROM hashed WHERE in_a GROUP BY 1),
+regs_b AS (
+  {regs}  FROM hashed WHERE NOT in_a GROUP BY 1),
+regs_u AS (
+  SELECT register, MAX(m_rank) AS m_rank
+  FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+  GROUP BY 1),
+est_a AS ({est('regs_a', 'est_a')}),
+est_b AS ({est('regs_b', 'est_b')}),
+est_u AS ({est('regs_u', 'est_union', with_m=True)}),
+exact AS (
+  SELECT CAST(count(DISTINCT CASE WHEN in_a THEN k END) AS BIGINT)
+           AS exact_a,
+         CAST(count(DISTINCT CASE WHEN NOT in_a THEN k END) AS BIGINT)
+           AS exact_b,
+         CAST(count(DISTINCT k) AS BIGINT) AS exact_union
+  FROM keys)
+SELECT m, est_a, est_b, est_union,
+       est_a + est_b - est_union AS est_intersect,
+       exact_a, exact_b, exact_union,
+       CAST(exact_a + exact_b - exact_union AS BIGINT) AS exact_intersect
+FROM est_u CROSS JOIN est_a CROSS JOIN est_b CROSS JOIN exact
+"""
+
+
+HLL_SET_OPS = _hll_set_ops_sql()
+
+# --- Good-Turing discounted counts ---------------------------------------------
+# Mirrors textstats.q_good_turing: the same bigram-count CTE as
+# NGRAM_COUNT_OF_COUNTS (shared heavy pass), then the discount table
+# r* = (r+1)·N_{r+1}/N_r over a generate_series grid. The two float
+# columns are single divisions of exact BIGINTs — correctly-rounded
+# IEEE in both engines, no fold order to replicate.
+
+
+def _good_turing_sql() -> str:
+    from go_crawler_spark.functions.textstats import GT_MAX_R
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOK_LOWER} AS ts FROM documents),
+grams AS (
+  SELECT ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS bigram
+  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 2),
+counts AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c0 FROM grams GROUP BY bigram),
+nc AS (
+  SELECT c0 AS r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+totals AS (
+  SELECT CAST(sum(c0) AS BIGINT) AS total_grams,
+         CAST(sum(CASE WHEN c0 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM counts),
+grid AS (
+  SELECT CAST(g.r AS BIGINT) AS r
+  FROM unnest(generate_series(1, {GT_MAX_R})) AS g(r))
+SELECT g.r AS r, a.n_r AS n_r,
+       CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+       (g.r + 1) * CAST(COALESCE(b.n_r, 0) AS BIGINT) / a.n_r AS r_star,
+       t.total_grams AS total_grams,
+       t.n1 / t.total_grams AS p0_unseen
+FROM grid g
+JOIN nc a ON a.r = g.r
+LEFT JOIN nc b ON b.r = g.r + 1
+CROSS JOIN totals t
+"""
+
+
+GOOD_TURING = _good_turing_sql()
+
+# --- dihedral-invariant phash dedup ---------------------------------------------
+# Mirrors multimodal.q_phash_dihedral via the golden-rows pattern:
+# phash_dihedral_golden() canonicalizes through the PIXEL road (8
+# dihedral_transform'd arrays, each re-hashed by the integer-exact
+# kernel) while the engine permutes the bits of ONE hash — the VALUES
+# agree only if the permutation algebra is right. Joined back to
+# documents on the base doc id (img_id % DIH_VARIANT_OFFSET).
+
+
+def _phash_dihedral_golden_values() -> str:
+    from go_crawler_spark.functions.multimodal import phash_dihedral_golden
+
+    return ",\n    ".join(
+        f"({i}, {p}, {d}, {c}, {g})"
+        for i, p, d, c, g in phash_dihedral_golden()
+    )
+
+
+def _phash_dihedral_sql() -> str:
+    from go_crawler_spark.functions.multimodal import DIH_VARIANT_OFFSET
+
+    return f"""
+WITH golden(img_id, phash, dihedral_phash, canon_img, group_size) AS (
+  VALUES
+    {_phash_dihedral_golden_values()})
+SELECT CAST(g.img_id AS BIGINT)         AS img_id,
+       CAST(g.phash AS BIGINT)          AS phash,
+       CAST(g.dihedral_phash AS BIGINT) AS dihedral_phash,
+       CAST(g.canon_img AS BIGINT)      AS canon_img,
+       CAST(g.group_size AS BIGINT)     AS group_size
+FROM golden g
+JOIN documents d ON d.doc_id = g.img_id % {DIH_VARIANT_OFFSET}
+"""
+
+
+PHASH_DIHEDRAL = _phash_dihedral_sql()
+
+# --- phash threshold accuracy audit ----------------------------------------------
+# Mirrors multimodal.q_phash_threshold_audit via golden VALUES from the
+# pure-Python brute-force sweep. The rows are corpus-level aggregates
+# over the PINNED doc_id < PHASH_N_DOCS corpus (documents ≥ 500 at
+# every SF, so the corpus is complete everywhere) — no per-row doc join
+# is possible or needed.
+
+
+def _phash_threshold_audit_sql() -> str:
+    from go_crawler_spark.functions.multimodal import (
+        phash_threshold_audit_golden,
+    )
+
+    values = ",\n    ".join(
+        f"({t}, {fl}, {tp}, {fp}, {fn}, {tt})"
+        for t, fl, tp, fp, fn, tt in phash_threshold_audit_golden()
+    )
+    return f"""
+WITH golden(t, n_flagged, n_tp, n_fp, n_fn, n_true_total) AS (
+  VALUES
+    {values})
+SELECT CAST(t AS BIGINT)            AS t,
+       CAST(n_flagged AS BIGINT)    AS n_flagged,
+       CAST(n_tp AS BIGINT)         AS n_tp,
+       CAST(n_fp AS BIGINT)         AS n_fp,
+       CAST(n_fn AS BIGINT)         AS n_fn,
+       CAST(n_true_total AS BIGINT) AS n_true_total
+FROM golden
+"""
+
+
+PHASH_THRESHOLD_AUDIT = _phash_threshold_audit_sql()

@@ -451,6 +451,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         textstats.q_priority_sample,
         oracles.PRIORITY_SAMPLE,
     ),
+    "hll_set_ops": (sketches.q_hll_set_ops, oracles.HLL_SET_OPS),
+    "good_turing": (textstats.q_good_turing, oracles.GOOD_TURING),
+    "phash_dihedral": (multimodal.q_phash_dihedral, oracles.PHASH_DIHEDRAL),
+    "phash_threshold_audit": (
+        multimodal.q_phash_threshold_audit,
+        oracles.PHASH_THRESHOLD_AUDIT,
+    ),
 }
 
 

@@ -1268,3 +1268,182 @@ def test_priority_sample_matches_bruteforce(spark, sf_small):
     for src, _ in got:
         per_src[src] += 1
     assert dict(per_src) == counts
+
+
+def test_hll_set_ops_parity_and_merge(spark, sf_small):
+    """The three estimates equal an independent pure-Python sketch
+    (union registers = elementwise max of the shard registers — the
+    merge law), exacts match real distinct counts, inclusion-exclusion
+    is replayed bit-for-bit, and the union estimate lands in the
+    2/sqrt(m) band."""
+    import pandas as pd
+
+    from go_crawler_spark.functions.sketches import (
+        HLL_M,
+        HLL_MIX_A,
+        HLL_MIX_B,
+        HLL_VALUE_BITS,
+        q_hll_set_ops,
+    )
+
+    li = pd.read_parquet(
+        f"{sf_small}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def sketch(keys):
+        regs: dict[int, int] = {}
+        for k in keys:
+            h = (_poly(k) * HLL_MIX_A) % P31 * HLL_MIX_B % P31
+            j, v = h % HLL_M, h // HLL_M
+            rank = (HLL_VALUE_BITS + 1) - (v.bit_length() if v else 0)
+            regs[j] = max(regs.get(j, 0), rank)
+        return regs
+
+    def est(regs):
+        s = sum(2.0 ** (-m) for m in regs.values()) + (HLL_M - len(regs))
+        return (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M / s
+
+    in_a = li["l_suppkey"] % 2 == 0
+    ka = [str(k) for k in li["l_orderkey"][in_a]]
+    kb = [str(k) for k in li["l_orderkey"][~in_a]]
+    ra, rb = sketch(ka), sketch(kb)
+    ru = {
+        j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)
+    }  # the merge law: registers max, keys never re-read
+    assert ru == sketch(ka + kb)  # merged sketch == sketch of the union
+    row = q_hll_set_ops(spark, sf_small).collect()[0]
+    assert row["m"] == HLL_M
+    assert row["est_a"] == est(ra)
+    assert row["est_b"] == est(rb)
+    assert row["est_union"] == est(ru)
+    assert row["est_intersect"] == est(ra) + est(rb) - est(ru)
+    sa, sb = set(ka), set(kb)
+    assert row["exact_a"] == len(sa)
+    assert row["exact_b"] == len(sb)
+    assert row["exact_union"] == len(sa | sb)
+    assert row["exact_intersect"] == len(sa & sb)
+    assert abs(row["est_union"] - len(sa | sb)) <= 0.125 * len(sa | sb)
+
+
+def test_good_turing_matches_bruteforce(spark, sf_small):
+    """The discount table equals a pure-Python Good-Turing replay:
+    exact N_r / N_{r+1} / N, the r* division, and the unseen mass p0 —
+    and the classic sanity r* < r for heavy-tailed N_r holds at r=1."""
+    from collections import Counter
+
+    from go_crawler_spark.functions.textstats import GT_MAX_R, q_good_turing
+
+    texts = [
+        r["text"]
+        for r in load(spark, sf_small, "documents").select("text").collect()
+    ]
+    bc: Counter = Counter()
+    for t in texts:
+        ws = [w for w in t.strip().lower().split() if w]
+        for i in range(len(ws) - 1):
+            bc[(ws[i], ws[i + 1])] += 1
+    nr: Counter = Counter(bc.values())
+    total = sum(bc.values())
+    n1 = nr.get(1, 0)
+    expected = {
+        r: (
+            nr[r],
+            nr.get(r + 1, 0),
+            (r + 1) * nr.get(r + 1, 0) / nr[r],
+            total,
+            n1 / total,
+        )
+        for r in range(1, GT_MAX_R + 1)
+        if nr.get(r, 0) > 0
+    }
+    got = {
+        row["r"]: (
+            row["n_r"],
+            row["n_r1"],
+            row["r_star"],
+            row["total_grams"],
+            row["p0_unseen"],
+        )
+        for row in q_good_turing(spark, sf_small).collect()
+    }
+    assert got == expected
+    assert 1 in got and got[1][2] < 1.0  # singleton mass discounts down
+    assert 0.0 < got[1][4] < 1.0
+
+
+def test_phash_dihedral_matches_golden_and_invariance(spark, sf_small):
+    """Spark rows equal the pixel-road golden replay; every planted
+    flip/rotation groups with its base under the canonical hash while
+    its PLAIN phash differs (the hole this op closes); and the
+    canonical hash is invariant under all 8 dihedral transforms."""
+    import numpy as np
+
+    from go_crawler_spark.functions.multimodal import (
+        DIH_PLANT_MOD,
+        DIH_VARIANT_OFFSET,
+        _phash_pixels,
+        dihedral_min_hash,
+        dihedral_transform,
+        phash64_int,
+        phash_dihedral_golden,
+        q_phash_dihedral,
+    )
+
+    golden = phash_dihedral_golden()
+    got = sorted(
+        (
+            r["img_id"],
+            r["phash"],
+            r["dihedral_phash"],
+            r["canon_img"],
+            r["group_size"],
+        )
+        for r in q_phash_dihedral(spark, sf_small).collect()
+    )
+    assert got == golden
+    rows = {r[0]: r for r in golden}
+    planted = [
+        d for d in range(PHASH_N_DOCS) if d % DIH_PLANT_MOD == 3
+    ]
+    assert planted
+    for d in planted:
+        base, var = rows[d], rows[d + DIH_VARIANT_OFFSET]
+        assert var[2] == base[2] and var[3] == d  # same canon group
+        assert var[4] == base[4] == 2
+        assert var[1] != base[1]  # plain phash misses the transform
+    for d in (0, 3, 76, 151):  # invariance, incl. the float-road trap doc
+        px = _phash_pixels(d)
+        canons = {
+            dihedral_min_hash(
+                phash64_int(np.ascontiguousarray(dihedral_transform(px, k)))
+            )
+            for k in range(8)
+        }
+        assert len(canons) == 1
+
+
+def test_phash_threshold_audit_matches_golden(spark, sf_small):
+    """Sweep rows equal the brute-force golden; flagged/tp counts are
+    monotone in t; the accounting identities hold on every row."""
+    from go_crawler_spark.functions.multimodal import (
+        phash_threshold_audit_golden,
+        q_phash_threshold_audit,
+    )
+
+    golden = phash_threshold_audit_golden()
+    got = sorted(
+        (
+            r["t"],
+            r["n_flagged"],
+            r["n_tp"],
+            r["n_fp"],
+            r["n_fn"],
+            r["n_true_total"],
+        )
+        for r in q_phash_threshold_audit(spark, sf_small).collect()
+    )
+    assert got == golden
+    for (t0, f0, tp0, *_), (t1, f1, tp1, *_) in zip(got, got[1:]):
+        assert f1 >= f0 and tp1 >= tp0
+    for t, fl, tp, fp, fn, tt in got:
+        assert fp == fl - tp and fn == tt - tp and 0 <= tp <= tt
