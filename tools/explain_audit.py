@@ -579,6 +579,38 @@ AUDITED = {
         ["Window", "row_number"],
         ["CartesianProduct", "BroadcastNestedLoopJoin"],
     ),
+    # HLL set ops: each shard sketch is a partial+final HashAggregate
+    # over hashed keys; the union merges ≤512 register ROWS; the final
+    # one-row estimate/exact crosses are sanctioned broadcast NLJs.
+    # Raw keys never ride a Window and nothing cross-products.
+    "hll_set_ops": (
+        ["HashAggregate"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # Good-Turing: the corpus pass is the shared bigram-count
+    # HashAggregate; ALL discount math joins the ≤8-row grid to the
+    # N_r table as broadcast hash joins (plus the one-row totals
+    # cross) — the corpus never re-shuffles for the grid.
+    "good_turing": (
+        ["HashAggregate", "BroadcastHashJoin"],
+        ["CartesianProduct", "SortMergeJoin", "Window"],
+    ),
+    # dihedral phash: pixels decode in one Arrow-batched map; the only
+    # shuffle keys on the 8-byte canonical hash (group sizes), joined
+    # back broadcast — no window, no product, pixels never shuffle.
+    "phash_dihedral": (
+        ["MapInPandas", "BroadcastHashJoin"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
+    # threshold audit: banded candidates ride hash joins with the
+    # hot-bucket cap Window (same hygiene as phash_neardup); the
+    # 17-row threshold grid and one-row truth total are sanctioned
+    # broadcast NLJ crosses. Nothing sort-merges or cross-products.
+    "phash_threshold_audit": (
+        ["MapInPandas", "BroadcastHashJoin", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
