@@ -209,6 +209,10 @@ def main() -> None:
         "image_decontaminate",  # phash eval leakage (image twin)
         "redirect_resolve",  # 3xx alias resolution (pointer doubling)
         "priority_sample",  # weighted per-source sample (DLT 2007)
+        "hll_set_ops",  # two-fleet overlap from mergeable registers
+        "good_turing",  # LM discount table off the shared bigram pass
+        "phash_dihedral",  # flip/rotation-invariant image dedup
+        "phash_threshold_audit",  # precision/recall sweep for the cutoff
     ]
     t_all = time.time()
     warmup(spark, sf_dir)
