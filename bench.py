@@ -213,6 +213,9 @@ def main() -> None:
         "good_turing",  # LM discount table off the shared bigram pass
         "phash_dihedral",  # flip/rotation-invariant image dedup
         "phash_threshold_audit",  # precision/recall sweep for the cutoff
+        "hrw_shard",  # rendezvous fleet sharding (map-side argmax)
+        "heaps_vocab_growth",  # vocabulary-growth curve (tokenizer sizing)
+        "postings_delta_bytes",  # gap+varint index size estimate
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

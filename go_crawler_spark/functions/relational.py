@@ -627,3 +627,86 @@ def q_frontier_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "url_id", "old_status", "new_status", change.alias("change")
     )
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) host→fetcher-shard assignment —
+# the cluster-membership primitive a fetch fleet uses to give every
+# host a stable owner (Thaler & Ravishankar, "Using name-based mappings
+# to increase hit rates", IEEE/ACM ToN 6(1), 1998). The reference runs
+# ONE fetch worker (/root/reference/internal/usecase/crawler.go:109 —
+# concurrency 1, a single host), so ownership is trivial there; a
+# 1000-executor fleet must shard politeness state by host, and HRW is
+# the standard scheme because growing the fleet N→N+1 moves only the
+# ~1/(N+1) of hosts whose new-shard weight wins — every other host
+# keeps its owner, so per-host rate-limit state never mass-migrates.
+#
+# Determinism for the oracle: weight(h, s) is the MINSTD-style mix
+# ((h % P + (s+1)·C) · A) % P with the repo's shared Knuth/P constants
+# — the shard term lands BEFORE the multiplicative scramble so no
+# shard index is systematically favored (an additive term AFTER the
+# mix is monotone in s and the last shard always wins); consecutive
+# shard inputs differ by C, so outputs differ by C·A mod P — an
+# effectively random large stride that wraps P every few steps. Pure
+# int64 (≤ ~2.7e18), so DuckDB replays it exactly. The argmax is
+# branch-free: comb = w·64 + (63 − s) is strictly distinct across
+# shards (s < 64), MAX(comb) picks the highest weight with ties to the
+# LOWEST shard id, and shard = 63 − comb % 64 recovers the winner.
+#
+# Scale shape: entirely map-side per host — the per-shard weights are
+# an array_max over a SEQUENCE literal (no explode row-blowup, no
+# shuffle, no join); the only Exchange is the distinct-host build
+# itself. The minimal-movement audit (shard_a vs shard_b, moved) is
+# the same narrow map twice.
+# --------------------------------------------------------------------------
+
+HRW_P = 1000000007  # shared prime modulus (cleaning.SPLIT_MIX_P)
+HRW_A = 2654435761  # Knuth multiplicative constant (cleaning.SPLIT_MIX_A)
+HRW_C = 40503  # 16-bit Knuth mix for the shard term
+HRW_N_A = 8  # fleet size before the resize
+HRW_N_B = 9  # fleet size after adding one fetcher
+
+
+def _hrw_comb(host_num: Column, n_shards: int) -> Column:
+    """MAX over s in [0, n) of weight(h, s)·64 + (63 − s) — the packed
+    rendezvous argmax (weights distinct per shard by construction)."""
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_shards - 1)),
+            lambda s: (
+                (
+                    (host_num % HRW_P + (s.cast("long") + 1) * HRW_C)
+                    * F.lit(HRW_A).cast("long")
+                )
+                % HRW_P
+            )
+            * 64
+            + (63 - s.cast("long")),
+        )
+    )
+
+
+def q_hrw_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, host_num, shard_a, shard_b, moved): stable rendezvous
+    owner for every distinct host at fleet sizes HRW_N_A and HRW_N_B,
+    plus the resize-movement flag. HRW guarantees moved ⇒ shard_b is
+    the NEW shard (HRW_N_B − 1): an existing shard can never steal a
+    host during a grow."""
+    orders = load(spark, sf_dir, "orders")
+    hosts = (
+        orders.select(
+            (F.col("o_orderkey") % BUDGET_HOST_MOD).alias("host_num")
+        )
+        .distinct()
+        .select(
+            F.format_string("host-%d.example.com", "host_num").alias("host"),
+            F.col("host_num").cast("long").alias("host_num"),
+        )
+    )
+    shard_a = 63 - _hrw_comb(F.col("host_num"), HRW_N_A) % 64
+    shard_b = 63 - _hrw_comb(F.col("host_num"), HRW_N_B) % 64
+    return (
+        hosts.withColumn("shard_a", shard_a.cast("long"))
+        .withColumn("shard_b", shard_b.cast("long"))
+        .withColumn("moved", F.col("shard_a") != F.col("shard_b"))
+    )

@@ -217,3 +217,68 @@ def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOPK)
         .select("doc_id", "rnk", "term", "score")
     )
+
+
+# --------------------------------------------------------------------------
+# Posting-list delta + varint size estimate — the storage-planning
+# statistic behind every inverted index at scale (gap encoding:
+# Witten/Moffat/Bell, "Managing Gigabytes", ch. 3). Postings sorted by
+# doc_id store GAPS, and a 7-bit varint then spends bytes only on the
+# gap magnitude, so dense (high-df) terms compress hardest — the
+# index-sizing decision for a 100 TB corpus (can the posting store fit
+# on flash?) reads exactly this table. The reference materializes no
+# index at all; this sizes the one q_inverted_index builds.
+#
+# Integer-exact on purpose: varint_bytes(gap) = 1 + [gap≥2^7] +
+# [gap≥2^14] + [gap≥2^21] + [gap≥2^28] (doc_ids stay far below 2^35 at
+# any SF), the first posting's gap is doc_id − (−1) so every gap ≥ 1,
+# and savings_permille = (raw − varint)·1000 div raw — no floats, so
+# DuckDB replays every row bit-for-bit.
+#
+# Scale shape: the gap window and the per-term aggregate BOTH key on
+# the term — one Exchange, AQE-reused (the inverted index's exact
+# pattern); the window sort is per-term and spillable, state never
+# exceeds a sort run. No global sort, no collect.
+# --------------------------------------------------------------------------
+
+VARINT_STEPS = (128, 16384, 2097152, 268435456)  # 2^7, 2^14, 2^21, 2^28
+
+
+def _varint_bytes(gap: Column) -> Column:
+    b = F.lit(1).cast("long")
+    for step in VARINT_STEPS:
+        b = b + F.when(gap >= step, 1).otherwise(0).cast("long")
+    return b
+
+
+def q_postings_delta_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, raw_bytes, varint_bytes, savings_permille) for every
+    term with df >= INDEX_DF_MIN: raw = 8 bytes/posting, varint = the
+    7-bit gap encoding of the doc_id-sorted posting list."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = postings.withColumn(
+        "gap", F.col("doc_id") - F.lag("doc_id", 1, -1).over(w)
+    )
+    agg = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(_varint_bytes(F.col("gap"))).cast("long").alias("varint_bytes"),
+    )
+    raw = (F.col("df") * 8).cast("long")
+    return (
+        agg.filter(F.col("df") >= INDEX_DF_MIN)
+        .withColumn("raw_bytes", raw)
+        .withColumn(
+            "savings_permille",
+            _floordiv(
+                (F.col("raw_bytes") - F.col("varint_bytes")) * 1000,
+                F.col("raw_bytes"),
+            ),
+        )
+        .select("term", "df", "raw_bytes", "varint_bytes", "savings_permille")
+    )

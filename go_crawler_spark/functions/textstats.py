@@ -838,3 +838,74 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n1") / F.col("total_grams")).alias("p0_unseen"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth curve — the tokenizer-sizing statistic
+# (V(n) ≈ K·n^β, Heaps 1978): cumulative distinct-vocabulary size at
+# ten corpus prefixes. A tokenizer-training pipeline reads this curve
+# to decide how much corpus saturates a target vocab; a crawler reads
+# its flattening as a coverage signal (new pages stop contributing new
+# words). The reference has no corpus statistics at all (it scrapes
+# per-page fields); this is the corpus-level counterpart.
+#
+# Exact-prefix trick: a token's first appearance is min over its
+# occurrences of the document's prefix bucket, so cum_vocab(b) =
+# #{tokens whose min-bucket ≤ b} — ONE groupBy on the token (map-side
+# partial agg collapses per-partition repeats first) and a ten-row
+# cumulative window, never a per-prefix rescan. Buckets are integer-
+# exact: b = doc_id·10 div (max_doc_id + 1) ∈ [0, 9] via the repo's
+# _floordiv discipline, so DuckDB replays the split bit-for-bit.
+#
+# Scale shape: the corpus-sized shuffle keys on the token string AFTER
+# partial aggregation (distinct tokens per partition, not occurrences
+# — the same Exchange the inverted index pays); everything after is
+# ≤ 10-row arithmetic. No global sort, no per-prefix pass.
+# --------------------------------------------------------------------------
+
+HEAPS_BUCKETS = 10  # corpus prefix checkpoints
+
+
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, cum_tokens, cum_vocab): running token total and running
+    distinct-vocabulary size after each tenth of the corpus (prefixes
+    ordered by doc_id)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg((F.max("doc_id") + 1).cast("long").alias("mx"))
+    toks = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            _floordiv(
+                F.col("doc_id") * HEAPS_BUCKETS, F.col("mx")
+            ).alias("bucket"),
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"),
+        )
+    )
+    first = toks.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    vocab = first.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    buckets = spark.range(HEAPS_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    w = _W.orderBy("bucket").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    return (
+        buckets.join(F.broadcast(counts), "bucket", "left")
+        .join(F.broadcast(vocab), "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )

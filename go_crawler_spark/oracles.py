@@ -4223,3 +4223,119 @@ FROM golden
 
 
 PHASH_THRESHOLD_AUDIT = _phash_threshold_audit_sql()
+
+# --- HRW rendezvous shard ---------------------------------------------------------
+# Mirrors relational.q_hrw_shard: distinct hosts, packed-argmax
+# rendezvous weight per shard at both fleet sizes. The oracle unnests
+# a shard series and MAXes the packed key — a different mechanism than
+# the engine's array_max fold, so the hash gate checks the assignment
+# semantics, not the implementation.
+
+
+def _hrw_shard_sql() -> str:
+    from go_crawler_spark.functions.relational import (
+        BUDGET_HOST_MOD,
+        HRW_A,
+        HRW_C,
+        HRW_N_A,
+        HRW_N_B,
+        HRW_P,
+    )
+
+    def comb(n: int) -> str:
+        return (
+            f"(SELECT MAX((h.host_num % {HRW_P} + (s.k + 1) * {HRW_C}) "
+            f"* {HRW_A} % {HRW_P} * 64 + (63 - s.k)) "
+            f"FROM unnest(generate_series(0, {n - 1})) AS s(k))"
+        )
+
+    return f"""
+WITH hosts AS (
+  SELECT DISTINCT CAST(o_orderkey % {BUDGET_HOST_MOD} AS BIGINT) AS host_num
+  FROM orders),
+packed AS (
+  SELECT host_num,
+         {comb(HRW_N_A)} AS comb_a,
+         {comb(HRW_N_B)} AS comb_b
+  FROM hosts h)
+SELECT printf('host-%d.example.com', host_num) AS host,
+       host_num,
+       CAST(63 - comb_a % 64 AS BIGINT) AS shard_a,
+       CAST(63 - comb_b % 64 AS BIGINT) AS shard_b,
+       (63 - comb_a % 64) <> (63 - comb_b % 64) AS moved
+FROM packed
+"""
+
+
+HRW_SHARD = _hrw_shard_sql()
+
+# --- Heaps'-law vocabulary growth -------------------------------------------------
+# Mirrors textstats.q_heaps_vocab_growth: integer prefix buckets
+# b = doc_id*10 // (max_doc_id+1), per-token min bucket, ten-row
+# cumulative sums.
+
+
+def _heaps_vocab_growth_sql() -> str:
+    from go_crawler_spark.functions.textstats import HEAPS_BUCKETS
+
+    return f"""
+WITH mx AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS m FROM documents),
+tb AS (
+  SELECT CAST(d.doc_id * {HEAPS_BUCKETS} // mx.m AS BIGINT) AS bucket,
+         unnest({_TOK_LOWER}) AS tok
+  FROM documents d, mx),
+firstb AS (SELECT tok, MIN(bucket) AS bucket FROM tb GROUP BY tok),
+v AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_vocab
+      FROM firstb GROUP BY bucket),
+t AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tb GROUP BY bucket),
+bs AS (SELECT CAST(unnest(generate_series(0, {HEAPS_BUCKETS - 1})) AS BIGINT)
+              AS bucket)
+SELECT bs.bucket,
+       CAST(SUM(COALESCE(t.n_tokens, 0))
+            OVER (ORDER BY bs.bucket) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_vocab, 0))
+            OVER (ORDER BY bs.bucket) AS BIGINT) AS cum_vocab
+FROM bs
+LEFT JOIN t ON t.bucket = bs.bucket
+LEFT JOIN v ON v.bucket = bs.bucket
+"""
+
+
+HEAPS_VOCAB_GROWTH = _heaps_vocab_growth_sql()
+
+# --- posting-list delta/varint size ----------------------------------------------
+# Mirrors search.q_postings_delta_bytes: distinct (term, doc_id)
+# postings, doc_id-sorted gaps via lag (first gap = doc_id + 1),
+# 7-bit-group varint byte count, integer permille savings.
+
+
+def _postings_delta_bytes_sql() -> str:
+    from go_crawler_spark.functions.search import INDEX_DF_MIN, VARINT_STEPS
+
+    vb = " + ".join(
+        f"CASE WHEN gap >= {s} THEN 1 ELSE 0 END" for s in VARINT_STEPS
+    )
+    return f"""
+WITH postings AS (
+  SELECT DISTINCT doc_id, unnest({_TOK_LOWER}) AS term FROM documents),
+gaps AS (
+  SELECT term,
+         doc_id - LAG(doc_id, 1, -1)
+                  OVER (PARTITION BY term ORDER BY doc_id) AS gap
+  FROM postings),
+agg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(SUM(1 + {vb}) AS BIGINT) AS varint_bytes
+  FROM gaps GROUP BY term)
+SELECT term, df,
+       CAST(df * 8 AS BIGINT) AS raw_bytes,
+       varint_bytes,
+       CAST((df * 8 - varint_bytes) * 1000 // (df * 8) AS BIGINT)
+         AS savings_permille
+FROM agg
+WHERE df >= {INDEX_DF_MIN}
+"""
+
+
+POSTINGS_DELTA_BYTES = _postings_delta_bytes_sql()

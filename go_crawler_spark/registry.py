@@ -76,13 +76,10 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r04-green entries rotate to the tail with one-round-old evidence
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
-# the order itself.  winnow_fingerprints, trustrank,
-# containment_pairs, host_graph_rank, focused_frontier,
-# mirror_hosts, dedup_best_copy, crawl_depth, spam_url_score,
-# fuzzy_decontaminate, image_decontaminate, redirect_resolve, and
-# priority_sample, added after the window was frozen, sit last
-# (positions 101-113) with local sf0.001/sf0.01/sf0.3 oracle
-# evidence.
+# the order itself.  Entries added after the window was frozen
+# (winnow_fingerprints through postings_delta_bytes, positions
+# 101-120) sit last with local sf0.001/sf0.01 (and, for most, sf0.3)
+# oracle evidence recorded in TESTDATA.md.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -457,6 +454,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "phash_threshold_audit": (
         multimodal.q_phash_threshold_audit,
         oracles.PHASH_THRESHOLD_AUDIT,
+    ),
+    # rendezvous host→fetcher sharding + N→N+1 minimal-movement audit
+    "hrw_shard": (relational.q_hrw_shard, oracles.HRW_SHARD),
+    # Heaps'-law cumulative vocabulary-growth curve (tokenizer sizing)
+    "heaps_vocab_growth": (
+        textstats.q_heaps_vocab_growth,
+        oracles.HEAPS_VOCAB_GROWTH,
+    ),
+    # posting-list gap+varint size estimate (index storage planning)
+    "postings_delta_bytes": (
+        search.q_postings_delta_bytes,
+        oracles.POSTINGS_DELTA_BYTES,
     ),
 }
 

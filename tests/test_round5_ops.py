@@ -1447,3 +1447,130 @@ def test_phash_threshold_audit_matches_golden(spark, sf_small):
         assert f1 >= f0 and tp1 >= tp0
     for t, fl, tp, fp, fn, tt in got:
         assert fp == fl - tp and fn == tt - tp and 0 <= tp <= tt
+
+
+def test_hrw_shard_minimal_movement_and_bruteforce(spark, sf_small):
+    """Rendezvous assignment equals a pure-Python argmax replay at both
+    fleet sizes, and the grow N→N+1 moves hosts ONLY to the new shard
+    (the HRW minimal-movement guarantee), at roughly a 1/(N+1) rate."""
+    from go_crawler_spark.functions.relational import (
+        HRW_A,
+        HRW_C,
+        HRW_N_A,
+        HRW_N_B,
+        HRW_P,
+        q_hrw_shard,
+    )
+
+    rows = q_hrw_shard(spark, sf_small).collect()
+    assert rows
+
+    def owner(h: int, n: int) -> int:
+        best = max(
+            (h % HRW_P + (s + 1) * HRW_C) * HRW_A % HRW_P * 64 + (63 - s)
+            for s in range(n)
+        )
+        return 63 - best % 64
+
+    moved = 0
+    for r in rows:
+        assert r["shard_a"] == owner(r["host_num"], HRW_N_A)
+        assert r["shard_b"] == owner(r["host_num"], HRW_N_B)
+        assert 0 <= r["shard_a"] < HRW_N_A
+        assert 0 <= r["shard_b"] < HRW_N_B
+        assert r["moved"] == (r["shard_a"] != r["shard_b"])
+        if r["moved"]:
+            # an existing shard can never steal a host during a grow
+            assert r["shard_b"] == HRW_N_B - 1
+            moved += 1
+    # E[moved] = n_hosts/HRW_N_B; loose 3x bounds keep this SF-stable
+    n = len(rows)
+    assert n / (3 * HRW_N_B) <= moved <= 3 * n / HRW_N_B
+
+
+def test_heaps_vocab_growth_matches_bruteforce(spark, sf_small):
+    """Cumulative vocab/token curve equals an independent pure-Python
+    prefix replay, is monotone, and ends at the corpus totals."""
+    from go_crawler_spark.functions.textstats import (
+        HEAPS_BUCKETS,
+        q_heaps_vocab_growth,
+    )
+
+    docs = (
+        load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    mx = max(r["doc_id"] for r in docs) + 1
+    tok_per_b = [0] * HEAPS_BUCKETS
+    first: dict[str, int] = {}
+    for r in docs:
+        b = r["doc_id"] * HEAPS_BUCKETS // mx
+        for t in r["text"].strip().lower().split():
+            if not t:
+                continue
+            tok_per_b[b] += 1
+            if t not in first or first[t] > b:
+                first[t] = b
+    cum_t, cum_v, expect = 0, 0, []
+    vocab_per_b = [0] * HEAPS_BUCKETS
+    for t, b in first.items():
+        vocab_per_b[b] += 1
+    for b in range(HEAPS_BUCKETS):
+        cum_t += tok_per_b[b]
+        cum_v += vocab_per_b[b]
+        expect.append((b, cum_t, cum_v))
+    got = sorted(
+        (r["bucket"], r["cum_tokens"], r["cum_vocab"])
+        for r in q_heaps_vocab_growth(spark, sf_small).collect()
+    )
+    assert got == expect
+    assert got[-1][2] == len(first)  # total distinct vocabulary
+
+
+def test_postings_delta_bytes_matches_bruteforce(spark, sf_small):
+    """Gap/varint byte totals equal a pure-Python posting-list replay,
+    and compression never exceeds the raw 8-byte/posting size."""
+    from go_crawler_spark.functions.search import (
+        INDEX_DF_MIN,
+        VARINT_STEPS,
+        q_postings_delta_bytes,
+    )
+
+    docs = (
+        load(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    posts: dict[str, set[int]] = {}
+    for r in docs:
+        for t in set(r["text"].strip().lower().split()):
+            if t:
+                posts.setdefault(t, set()).add(r["doc_id"])
+
+    def vbytes(gap: int) -> int:
+        return 1 + sum(1 for s in VARINT_STEPS if gap >= s)
+
+    expect = {}
+    for term, ids in posts.items():
+        if len(ids) < INDEX_DF_MIN:
+            continue
+        ordered = sorted(ids)
+        gaps = [ordered[0] + 1] + [
+            b - a for a, b in zip(ordered, ordered[1:])
+        ]
+        var = sum(vbytes(g) for g in gaps)
+        raw = 8 * len(ids)
+        expect[term] = (len(ids), raw, var, (raw - var) * 1000 // raw)
+    got = {
+        r["term"]: (
+            r["df"],
+            r["raw_bytes"],
+            r["varint_bytes"],
+            r["savings_permille"],
+        )
+        for r in q_postings_delta_bytes(spark, sf_small).collect()
+    }
+    assert got == expect
+    for df, raw, var, _ in got.values():
+        assert var <= raw

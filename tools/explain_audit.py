@@ -611,6 +611,29 @@ AUDITED = {
         ["MapInPandas", "BroadcastHashJoin", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # HRW sharding: one distinct-host HashAggregate, then the packed
+    # rendezvous argmax is a pure map (array_max over a sequence
+    # literal) — no join of any kind, no window, no product.
+    "hrw_shard": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window"],
+    ),
+    # Heaps' curve: the corpus shuffle is the token-keyed min-bucket
+    # HashAggregate (map-side partial agg first); the max-doc-id row
+    # is a sanctioned one-row broadcast cross; the cumulative window
+    # runs over ten bucket rows. Nothing sort-merges or products.
+    "heaps_vocab_growth": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
+    # postings varint sizing: distinct postings + per-term lag window
+    # + per-term aggregate all key on the term (one Exchange, reused);
+    # no join of any kind — never a product or a global sort.
+    "postings_delta_bytes": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    ),
 }
 
 
