@@ -216,6 +216,7 @@ def main() -> None:
         "hrw_shard",  # rendezvous fleet sharding (map-side argmax)
         "heaps_vocab_growth",  # vocabulary-growth curve (tokenizer sizing)
         "postings_delta_bytes",  # gap+varint index size estimate
+        "thumb_pyramid",  # multi-resolution image-tower sizing
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

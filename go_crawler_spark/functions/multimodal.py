@@ -1963,3 +1963,109 @@ def phash_threshold_audit_golden(
             )
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Thumbnail-pyramid storage sizing — the planning statistic for a
+# multi-resolution image tower (mipmap / image-pyramid storage: every
+# serving stack keeps halved-resolution copies down to a floor so
+# vision models and preview UIs never resize at read time). Per image:
+# level l stores ceil(w/2^l) × ceil(h/2^l) × 3 bytes while the smaller
+# edge is still ≥ PYR_MIN_DIM, and the geometric series prices the
+# whole tower at ~4/3 of the base — THE number a 100 TB image corpus
+# reads before materializing pyramids. The reference stores one
+# original per URL (/root/reference: single-copy page store) and never
+# sizes derived assets.
+#
+# Gate shape: the (w, h) dims come off the REAL payload decode (same
+# mapInPandas road as image_meta_extract — pixels never reach the
+# JVM), while ALL pyramid math is JVM-side integer expressions; the
+# oracle carries only golden (doc_id, w, h) from the pure-Python codec
+# replay and re-derives every level in SQL independently, so the hash
+# gate checks the sizing algebra, not a copied result. overhead is
+# pyramid·1000 div base (≥ 0 — never a negative floordiv, where Spark
+# div truncates toward zero but DuckDB // floors).
+# --------------------------------------------------------------------------
+
+PYR_MIN_DIM = 8  # smallest stored thumbnail edge
+PYR_MAX_LVL = 12  # level scan bound (dims < 32·2^12 always hold)
+PYR_N_DOCS = 200  # pinned corpus: doc_id < 200 (documents ≥ 500 at any SF)
+
+
+def thumb_pyramid_golden() -> list[tuple[int, int, int]]:
+    """Pure-Python codec replay: (doc_id, w, h) for the pinned corpus —
+    the oracle's only input; all sizing math re-derives in SQL."""
+    out = []
+    for did in range(PYR_N_DOCS):
+        px, _fmt = codec.decode(codec.payload_for(f"doc-{did}")["bytes"])
+        out.append((did, int(px.shape[1]), int(px.shape[0])))
+    return out
+
+
+def q_thumb_pyramid_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w, h, n_levels, base_bytes, pyramid_bytes,
+    overhead_permille): halved-resolution tower sizing per decoded
+    image, levels kept while min(ceil(w/2^l), ceil(h/2^l)) ≥
+    PYR_MIN_DIM."""
+    from go_crawler_spark.functions.textstats import _floordiv
+
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < PYR_N_DOCS
+    )
+
+    def dims(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                px, _fmt = codec.decode(
+                    codec.payload_for(f"doc-{int(did)}")["bytes"]
+                )
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "w": int(px.shape[1]),
+                        "h": int(px.shape[0]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "w", "h"])
+
+    meta = docs.mapInPandas(dims, schema="doc_id long, w long, h long")
+
+    def ceil_div(a, p):
+        return _floordiv(a + p - 1, p)
+
+    pows = F.array(
+        *[F.lit(1 << lv).cast("long") for lv in range(PYR_MAX_LVL + 1)]
+    )
+    lvl_bytes = F.transform(
+        pows,
+        lambda p: F.when(
+            F.least(ceil_div(F.col("w"), p), ceil_div(F.col("h"), p))
+            >= PYR_MIN_DIM,
+            ceil_div(F.col("w"), p) * ceil_div(F.col("h"), p) * 3,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    base = (F.col("w") * F.col("h") * 3).cast("long")
+    return (
+        meta.withColumn(
+            "n_levels",
+            F.size(F.filter(lvl_bytes, lambda b: b > 0)).cast("long"),
+        )
+        .withColumn(
+            "pyramid_bytes",
+            F.aggregate(
+                lvl_bytes, F.lit(0).cast("long"), lambda acc, b: acc + b
+            ),
+        )
+        .select(
+            "doc_id",
+            "w",
+            "h",
+            "n_levels",
+            base.alias("base_bytes"),
+            "pyramid_bytes",
+            _floordiv(F.col("pyramid_bytes") * 1000, base).alias(
+                "overhead_permille"
+            ),
+        )
+    )

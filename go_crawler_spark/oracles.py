@@ -4339,3 +4339,49 @@ WHERE df >= {INDEX_DF_MIN}
 
 
 POSTINGS_DELTA_BYTES = _postings_delta_bytes_sql()
+
+# --- thumbnail-pyramid sizing ------------------------------------------------------
+# Mirrors multimodal.q_thumb_pyramid_bytes: golden (doc_id, w, h) from
+# the pure-Python codec replay; EVERY sizing column re-derives in SQL
+# (ceil-div levels via generate_series, min-edge floor, geometric
+# byte sum) — the hash gate checks the algebra, not a copied value.
+
+
+def _thumb_pyramid_sql() -> str:
+    from go_crawler_spark.functions.multimodal import (
+        PYR_MAX_LVL,
+        PYR_MIN_DIM,
+        thumb_pyramid_golden,
+    )
+
+    values = ",\n    ".join(
+        f"({d}, {w}, {h})" for d, w, h in thumb_pyramid_golden()
+    )
+    return f"""
+WITH golden(doc_id, w, h) AS (
+  VALUES
+    {values}),
+lv AS (
+  SELECT doc_id,
+         (w + (1 << s.k) - 1) // (1 << s.k) AS cw,
+         (h + (1 << s.k) - 1) // (1 << s.k) AS ch
+  FROM golden, unnest(generate_series(0, {PYR_MAX_LVL})) AS s(k)),
+ok AS (SELECT * FROM lv WHERE least(cw, ch) >= {PYR_MIN_DIM}),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_levels,
+         CAST(SUM(cw * ch * 3) AS BIGINT) AS pyramid_bytes
+  FROM ok GROUP BY doc_id)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(g.w AS BIGINT) AS w,
+       CAST(g.h AS BIGINT) AS h,
+       COALESCE(a.n_levels, 0) AS n_levels,
+       CAST(g.w * g.h * 3 AS BIGINT) AS base_bytes,
+       COALESCE(a.pyramid_bytes, 0) AS pyramid_bytes,
+       CAST(COALESCE(a.pyramid_bytes, 0) * 1000 // (g.w * g.h * 3)
+            AS BIGINT) AS overhead_permille
+FROM golden g
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+THUMB_PYRAMID = _thumb_pyramid_sql()

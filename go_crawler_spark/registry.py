@@ -77,9 +77,9 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  Entries added after the window was frozen
-# (winnow_fingerprints through postings_delta_bytes, positions
-# 101-120) sit last with local sf0.001/sf0.01 (and, for most, sf0.3)
-# oracle evidence recorded in TESTDATA.md.
+# (winnow_fingerprints through thumb_pyramid, positions 101-121) sit
+# last with local sf0.001/sf0.01 (and, for most, sf0.3) oracle
+# evidence recorded in TESTDATA.md.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -466,6 +466,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "postings_delta_bytes": (
         search.q_postings_delta_bytes,
         oracles.POSTINGS_DELTA_BYTES,
+    ),
+    # multi-resolution image-tower storage sizing (decode-road dims)
+    "thumb_pyramid": (
+        multimodal.q_thumb_pyramid_bytes,
+        oracles.THUMB_PYRAMID,
     ),
 }
 

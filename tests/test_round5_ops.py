@@ -1574,3 +1574,48 @@ def test_postings_delta_bytes_matches_bruteforce(spark, sf_small):
     assert got == expect
     for df, raw, var, _ in got.values():
         assert var <= raw
+
+
+def test_thumb_pyramid_matches_bruteforce(spark, sf_small):
+    """Pyramid sizing equals a pure-Python replay over the decoded
+    dims, level 0 is always stored (codec min edge 24 ≥ PYR_MIN_DIM),
+    and the tower never exceeds the 4/3 geometric bound by more than
+    halving-rounding slack."""
+    from go_crawler_spark.crawl import codec
+    from go_crawler_spark.functions.multimodal import (
+        PYR_MAX_LVL,
+        PYR_MIN_DIM,
+        PYR_N_DOCS,
+        q_thumb_pyramid_bytes,
+    )
+
+    expect = {}
+    for did in range(PYR_N_DOCS):
+        px, _ = codec.decode(codec.payload_for(f"doc-{did}")["bytes"])
+        w, h = int(px.shape[1]), int(px.shape[0])
+        pyr, n = 0, 0
+        for lv in range(PYR_MAX_LVL + 1):
+            cw = (w + (1 << lv) - 1) >> lv
+            ch = (h + (1 << lv) - 1) >> lv
+            if min(cw, ch) < PYR_MIN_DIM:
+                continue
+            pyr += cw * ch * 3
+            n += 1
+        base = w * h * 3
+        expect[did] = (w, h, n, base, pyr, pyr * 1000 // base)
+    got = {
+        r["doc_id"]: (
+            r["w"],
+            r["h"],
+            r["n_levels"],
+            r["base_bytes"],
+            r["pyramid_bytes"],
+            r["overhead_permille"],
+        )
+        for r in q_thumb_pyramid_bytes(spark, sf_small).collect()
+    }
+    assert got == expect
+    for w, h, n, base, pyr, perm in got.values():
+        assert n >= 1 and pyr >= base
+        # Σ 1/4^l < 4/3; ceil rounding adds o(1) per level
+        assert perm <= 1400

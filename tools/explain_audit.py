@@ -634,6 +634,14 @@ AUDITED = {
         ["HashAggregate", "Window"],
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     ),
+    # pyramid sizing: dims decode in one Arrow-batched map; every
+    # level/byte column is a narrow JVM expression — no join, no
+    # shuffle of any kind, no window.
+    "thumb_pyramid": (
+        ["MapInPandas"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
+         "Window", "Exchange"],
+    ),
 }
 
 
