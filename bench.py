@@ -217,6 +217,7 @@ def main() -> None:
         "heaps_vocab_growth",  # vocabulary-growth curve (tokenizer sizing)
         "postings_delta_bytes",  # gap+varint index size estimate
         "thumb_pyramid",  # multi-resolution image-tower sizing
+        "host_skew",  # frontier Gini + top-1% share off the histogram
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -710,3 +710,111 @@ def q_hrw_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard_b", shard_b.cast("long"))
         .withColumn("moved", F.col("shard_a") != F.col("shard_b"))
     )
+
+
+# --------------------------------------------------------------------------
+# Host-skew audit — the imbalance statistic that decides whether a
+# frontier needs salting / AQE skew-join hygiene BEFORE a round runs:
+# the Gini coefficient of per-host demand plus the demand share of the
+# top-1% hottest hosts. On the web both are extreme (host popularity
+# is Zipfian — Broder et al., "Graph structure in the web", WWW 2000),
+# and a scheduler that ignores them serializes on its hottest hosts.
+# The reference crawls ONE host and cannot observe skew at all.
+#
+# Scale shape (the point of the operator): Gini normally needs a
+# GLOBAL per-host sort (rank every host by demand). With ties grouped,
+# Σ rank·d per equal-demand group is d·(n_h·below + n_h·(n_h+1)/2) —
+# independent of tie order — so the whole statistic computes on the
+# DEMAND HISTOGRAM (distinct demand values, the waterfill trick): a
+# 10^7-host frontier with 10^4 distinct demands needs a 10^4-row
+# window, never a host sort. The top-1% share reads the same
+# histogram from the hot end (whole groups + one partial group). The
+# two permille divisions ride _mul_floordiv_wide (numerators reach
+# ~n·T·1000 ≈ 10^20 at fleet scale — past int64); DuckDB mirrors with
+# HUGEINT //.
+# --------------------------------------------------------------------------
+
+SKEW_HOST_MOD = 200  # synthetic host cardinality (waterfill's corpus)
+
+
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_hosts, total_demand, gini_permille, top1pct_hosts,
+    top1pct_share_permille) over per-host frontier demand. Gini uses
+    ascending ranks 1..n with tie groups summed in closed form;
+    top-1% takes the ceil(n/100) hottest hosts (partial group pro-
+    rated by demand)."""
+    from go_crawler_spark.functions.textstats import (
+        _floordiv,
+        _mul_floordiv_wide,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    demand = (
+        orders.select(
+            (F.col("o_orderkey") % SKEW_HOST_MOD).alias("host_num")
+        )
+        .groupBy("host_num")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = demand.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h")
+    )
+    w_asc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_desc = Window.orderBy(F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    g = (
+        hist.withColumn(
+            "below", F.coalesce(F.sum("n_h").over(w_asc), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "above",
+            F.coalesce(F.sum("n_h").over(w_desc), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "rank_d",
+            F.col("d")
+            * (
+                F.col("n_h") * F.col("below")
+                + _floordiv(
+                    F.col("n_h") * (F.col("n_h") + 1), F.lit(2).cast("long")
+                )
+            ),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_h").cast("long").alias("n"),
+        F.sum(F.col("n_h") * F.col("d")).cast("long").alias("t"),
+        F.sum("rank_d").cast("long").alias("r"),
+    )
+    k = _floordiv(F.col("n") + 99, F.lit(100).cast("long"))
+    # top-1% demand: per group take min(n_h, max(0, k − above)) hosts
+    topsum = g.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("d")
+            * F.greatest(
+                F.lit(0).cast("long"),
+                F.least(F.col("n_h"), k - F.col("above")),
+            )
+        ).alias("take_d"),
+        F.lit(1).alias("one"),
+    ).groupBy("one").agg(F.sum("take_d").cast("long").alias("top_t"))
+    return (
+        tot.crossJoin(F.broadcast(topsum.drop("one")))
+        .select(
+            F.col("n").alias("n_hosts"),
+            F.col("t").alias("total_demand"),
+            _mul_floordiv_wide(
+                F.lit(2).cast("long") * F.col("r")
+                - (F.col("n") + 1) * F.col("t"),
+                F.lit(1000).cast("long"),
+                F.col("n") * F.col("t"),
+            ).alias("gini_permille"),
+            k.alias("top1pct_hosts"),
+            _mul_floordiv_wide(
+                F.col("top_t"), F.lit(1000).cast("long"), F.col("t")
+            ).alias("top1pct_share_permille"),
+        )
+    )

@@ -4385,3 +4385,49 @@ LEFT JOIN agg a USING (doc_id)
 
 
 THUMB_PYRAMID = _thumb_pyramid_sql()
+
+# --- host-skew audit --------------------------------------------------------------
+# Mirrors relational.q_host_skew: demand histogram, closed-form tie-
+# group rank sums (Gini needs no per-host sort), top-1% from the hot
+# end of the same histogram, HUGEINT // for the two permille ratios
+# (Spark side rides _mul_floordiv_wide).
+
+
+def _host_skew_sql() -> str:
+    from go_crawler_spark.functions.relational import SKEW_HOST_MOD
+
+    return f"""
+WITH demand AS (
+  SELECT o_orderkey % {SKEW_HOST_MOD} AS host_num,
+         CAST(count(*) AS BIGINT) AS d
+  FROM orders GROUP BY 1),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS n_h FROM demand GROUP BY d),
+g AS (
+  SELECT d, n_h,
+    COALESCE(SUM(n_h) OVER (ORDER BY d ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+    COALESCE(SUM(n_h) OVER (ORDER BY d DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM hist),
+tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n,
+         CAST(SUM(n_h * d) AS BIGINT) AS t,
+         CAST(SUM(d * (n_h * below + (n_h * (n_h + 1)) // 2)) AS BIGINT)
+           AS r
+  FROM g),
+topt AS (
+  SELECT CAST(SUM(d * GREATEST(0, LEAST(n_h,
+           (SELECT (n + 99) // 100 FROM tot) - above))) AS BIGINT) AS top_t
+  FROM g)
+SELECT n AS n_hosts,
+       t AS total_demand,
+       CAST((2 * CAST(r AS HUGEINT) - (CAST(n AS HUGEINT) + 1) * t) * 1000
+            // (CAST(n AS HUGEINT) * t) AS BIGINT) AS gini_permille,
+       CAST((n + 99) // 100 AS BIGINT) AS top1pct_hosts,
+       CAST(CAST(top_t AS HUGEINT) * 1000 // t AS BIGINT)
+         AS top1pct_share_permille
+FROM tot, topt
+"""
+
+
+HOST_SKEW = _host_skew_sql()

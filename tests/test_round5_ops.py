@@ -1619,3 +1619,35 @@ def test_thumb_pyramid_matches_bruteforce(spark, sf_small):
         assert n >= 1 and pyr >= base
         # Σ 1/4^l < 4/3; ceil rounding adds o(1) per level
         assert perm <= 1400
+
+
+def test_host_skew_matches_bruteforce(spark, sf_small):
+    """Histogram Gini and top-1% share equal the textbook per-host-sort
+    computation replayed in pure Python — proving the tie-group
+    closed form needs no host sort — and land in their legal ranges."""
+    from go_crawler_spark.functions.relational import (
+        SKEW_HOST_MOD,
+        q_host_skew,
+    )
+
+    demands: dict[int, int] = {}
+    for r in load(spark, sf_small, "orders").select("o_orderkey").collect():
+        h = r["o_orderkey"] % SKEW_HOST_MOD
+        demands[h] = demands.get(h, 0) + 1
+    ds = sorted(demands.values())  # ascending; rank i+1
+    n, t = len(ds), sum(ds)
+    r_sum = sum((i + 1) * d for i, d in enumerate(ds))
+    gini = (2 * r_sum - (n + 1) * t) * 1000 // (n * t)
+    k = (n + 99) // 100
+    top = sum(sorted(ds, reverse=True)[:k])
+    row = q_host_skew(spark, sf_small).collect()
+    assert len(row) == 1
+    got = row[0]
+    assert got["n_hosts"] == n
+    assert got["total_demand"] == t
+    assert got["gini_permille"] == gini
+    assert got["top1pct_hosts"] == k
+    assert got["top1pct_share_permille"] == top * 1000 // t
+    assert 0 <= got["gini_permille"] < 1000
+    # the hottest k hosts hold at least their uniform share
+    assert got["top1pct_share_permille"] >= k * 1000 // n

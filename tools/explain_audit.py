@@ -642,6 +642,15 @@ AUDITED = {
         ["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin",
          "Window", "Exchange"],
     ),
+    # host-skew audit: the only corpus-sized shuffle is the host-key
+    # demand HashAggregate; the Gini/top-share windows run over the
+    # DISTINCT-DEMAND histogram (the waterfill trick — never a
+    # per-host sort) and the one-row totals crosses are sanctioned
+    # broadcast NLJs. Nothing sort-merges or cross-products.
+    "host_skew": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
