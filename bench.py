@@ -218,6 +218,7 @@ def main() -> None:
         "postings_delta_bytes",  # gap+varint index size estimate
         "thumb_pyramid",  # multi-resolution image-tower sizing
         "host_skew",  # frontier Gini + top-1% share off the histogram
+        "zipf_topk",  # rank x freq constancy over the vocabulary head
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

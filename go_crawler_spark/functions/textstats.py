@@ -909,3 +909,60 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_vocab"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank×frequency audit — the fourth classical corpus statistic
+# (with Heaps' growth, the N_r count-of-counts table, and Good-Turing
+# discounts): Zipf's law predicts rank·freq ≈ constant for the head of
+# the vocabulary, and a corpus whose head deviates hard (rf_permille
+# collapsing or exploding vs the top term) is template boilerplate or
+# spam, not natural text — a cheap corpus-health gate next to the
+# Gopher flags. All integer: rf = rank·freq, and the deviation column
+# is rank·freq·1000 div f₁ (≈1000 under ideal Zipf), so both engines
+# agree bit-for-bit — no log-log regression floats.
+#
+# Scale shape: term frequencies are ONE token-keyed groupBy (map-side
+# partial agg — the Exchange every vocabulary pass shares); the top-K
+# head is orderBy(...).limit(K), which Spark plans as
+# TakeOrderedAndProject (per-partition top-K, merge on the driver —
+# never a global sort materialization); the rank window then sorts K
+# rows. Ties break (freq desc, term asc) — ASCII-binary in both
+# engines.
+# --------------------------------------------------------------------------
+
+ZIPF_TOPK = 30  # vocabulary head size
+
+
+def q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, term, freq, rf_product, rf_permille): the ZIPF_TOPK most
+    frequent terms with their rank·freq products and the permille ratio
+    to the top term's frequency (Zipf predicts ≈ constant ≈ 1000)."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    freq = (
+        docs.select(
+            F.explode(tokens_col(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    head = freq.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(
+        ZIPF_TOPK
+    )
+    w = _W.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = head.withColumn("rank", F.row_number().over(w).cast("long"))
+    top1 = ranked.filter(F.col("rank") == 1).select(
+        F.col("freq").alias("f1")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(top1))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rf_product"),
+            _floordiv(
+                F.col("rank") * F.col("freq") * 1000, F.col("f1")
+            ).alias("rf_permille"),
+        )
+    )

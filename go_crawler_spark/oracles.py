@@ -4431,3 +4431,34 @@ FROM tot, topt
 
 
 HOST_SKEW = _host_skew_sql()
+
+# --- Zipf head audit --------------------------------------------------------------
+# Mirrors textstats.q_zipf_topk: token frequencies, (freq desc, term
+# asc) head of ZIPF_TOPK, integer rank*freq products and the permille
+# ratio to the top frequency.
+
+
+def _zipf_topk_sql() -> str:
+    from go_crawler_spark.functions.textstats import ZIPF_TOPK
+
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOK_LOWER}) AS term FROM documents),
+freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY term),
+head AS (
+  SELECT term, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, term ASC) AS BIGINT)
+           AS rank
+  FROM freq
+  ORDER BY freq DESC, term ASC
+  LIMIT {ZIPF_TOPK}),
+top1 AS (SELECT freq AS f1 FROM head WHERE rank = 1)
+SELECT h.rank, h.term, h.freq,
+       CAST(h.rank * h.freq AS BIGINT) AS rf_product,
+       CAST(h.rank * h.freq * 1000 // t.f1 AS BIGINT) AS rf_permille
+FROM head h, top1 t
+"""
+
+
+ZIPF_TOPK_SQL = _zipf_topk_sql()

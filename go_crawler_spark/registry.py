@@ -77,7 +77,7 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  Entries added after the window was frozen
-# (winnow_fingerprints through host_skew, positions 101-122) sit
+# (winnow_fingerprints through zipf_topk, positions 101-123) sit
 # last with local sf0.001/sf0.01 (and, for most, sf0.3) oracle
 # evidence recorded in TESTDATA.md.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -474,6 +474,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # frontier imbalance audit: histogram Gini + top-1% demand share
     "host_skew": (relational.q_host_skew, oracles.HOST_SKEW),
+    # Zipf head audit: rank·freq constancy over the vocabulary head
+    "zipf_topk": (textstats.q_zipf_topk, oracles.ZIPF_TOPK_SQL),
 }
 
 

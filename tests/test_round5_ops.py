@@ -1651,3 +1651,34 @@ def test_host_skew_matches_bruteforce(spark, sf_small):
     assert 0 <= got["gini_permille"] < 1000
     # the hottest k hosts hold at least their uniform share
     assert got["top1pct_share_permille"] >= k * 1000 // n
+
+
+def test_zipf_topk_matches_bruteforce(spark, sf_small):
+    """The vocabulary head equals a pure-Python frequency sort (ties
+    freq desc, term asc), products and permilles are exact integers,
+    and rank 1 pins rf_permille = 1000 by construction."""
+    import collections
+
+    from go_crawler_spark.functions.textstats import ZIPF_TOPK, q_zipf_topk
+
+    cnt: collections.Counter = collections.Counter()
+    for r in load(spark, sf_small, "documents").select("text").collect():
+        cnt.update(t for t in r["text"].strip().lower().split() if t)
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOPK]
+    f1 = head[0][1]
+    expect = [
+        (i + 1, term, f, (i + 1) * f, (i + 1) * f * 1000 // f1)
+        for i, (term, f) in enumerate(head)
+    ]
+    got = sorted(
+        (
+            r["rank"],
+            r["term"],
+            r["freq"],
+            r["rf_product"],
+            r["rf_permille"],
+        )
+        for r in q_zipf_topk(spark, sf_small).collect()
+    )
+    assert got == expect
+    assert got[0][4] == 1000

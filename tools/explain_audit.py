@@ -651,6 +651,14 @@ AUDITED = {
         ["HashAggregate", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # Zipf head: term frequencies are the one token-keyed
+    # HashAggregate; the head is TakeOrderedAndProject (per-partition
+    # top-K, never a global sort materialization); the rank window
+    # and the one-row f1 broadcast cross run over ≤ K rows.
+    "zipf_topk": (
+        ["HashAggregate", "TakeOrderedAndProject"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
