@@ -219,6 +219,7 @@ def main() -> None:
         "thumb_pyramid",  # multi-resolution image-tower sizing
         "host_skew",  # frontier Gini + top-1% share off the histogram
         "zipf_topk",  # rank x freq constancy over the vocabulary head
+        "token_budget_apportion",  # exact largest-remainder quotas
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -966,3 +966,77 @@ def q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rf_permille"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget apportionment — turning the temperature-resampled mix
+# WEIGHTS into an exact integer token QUOTA per source for a fixed
+# training-run budget. Floor quotas under-spend by up to n_sources−1
+# tokens; the classic largest-remainder (Hamilton/Hare) rule hands the
+# leftover +1 each to the sources with the biggest remainders, so
+# Σ alloc == budget EXACTLY — the property a shard writer needs before
+# it cuts files (the same Σ==cap discipline as the waterfill's
+# remainder rule). Ranking ties break (remainder desc, source asc).
+#
+# Integer bounds: wq ≤ MIX_SCALE (1e9) and the budget is 1e7, so
+# wq·B ≤ 1e16 and floor_quota·sum_wq ≤ wq·B — every term fits int64;
+# the one floor division rides _mul_floordiv_wide anyway (exact at
+# any scale). The remainder window runs over n_sources rows (dozens),
+# after the same single corpus pass the mix-weights op shares.
+# --------------------------------------------------------------------------
+
+APPORTION_BUDGET = 10_000_000  # training-run token budget
+
+
+def q_token_budget_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, src_tokens, floor_quota, rem_num, alloc): exact
+    largest-remainder split of APPORTION_BUDGET tokens across sources
+    proportional to the p^alpha mix weight; Σ alloc == budget."""
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("src_tokens")
+    )
+    tot = per.agg(F.sum("src_tokens").cast("long").alias("tot_tokens"))
+    q = per.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.floor(
+            F.pow(
+                F.col("src_tokens").cast("double")
+                / F.col("tot_tokens").cast("double"),
+                F.lit(MIX_ALPHA),
+            )
+            * F.lit(MIX_SCALE)
+        ).cast("long"),
+    )
+    den = q.agg(F.sum("wq").cast("long").alias("sum_wq"))
+    b = F.lit(APPORTION_BUDGET).cast("long")
+    base = (
+        q.crossJoin(F.broadcast(den))
+        .withColumn(
+            "floor_quota", _mul_floordiv_wide(F.col("wq"), b, F.col("sum_wq"))
+        )
+        .withColumn(
+            "rem_num",
+            F.col("wq") * b - F.col("floor_quota") * F.col("sum_wq"),
+        )
+    )
+    lo = base.agg(
+        (b - F.sum("floor_quota")).cast("long").alias("leftover")
+    )
+    w = _W.orderBy(F.col("rem_num").desc(), F.col("source").asc())
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "src_tokens",
+            "floor_quota",
+            F.col("rem_num").cast("long").alias("rem_num"),
+            (
+                F.col("floor_quota")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

@@ -4462,3 +4462,53 @@ FROM head h, top1 t
 
 
 ZIPF_TOPK_SQL = _zipf_topk_sql()
+
+# --- token-budget apportionment ----------------------------------------------------
+# Mirrors textstats.q_token_budget_apportion: identical wq
+# quantization (the one pow() on exact BIGINT-derived doubles — the
+# SOURCE_MIX_WEIGHTS parity argument), HUGEINT floor quota, exact
+# largest-remainder bonus ranked (rem desc, source asc).
+
+
+def _token_budget_apportion_sql() -> str:
+    from go_crawler_spark.functions.textstats import (
+        APPORTION_BUDGET,
+        MIX_ALPHA,
+        MIX_SCALE,
+    )
+
+    return f"""
+WITH per AS (
+  SELECT source, CAST(sum(len({_TOK})) AS BIGINT) AS src_tokens
+  FROM documents GROUP BY source),
+tot AS (
+  SELECT CAST(sum(src_tokens) AS BIGINT) AS tot_tokens FROM per),
+q AS (
+  SELECT source, src_tokens,
+         CAST(floor(pow(CAST(src_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE),
+                        {MIX_ALPHA}) * {MIX_SCALE}) AS BIGINT) AS wq
+  FROM per CROSS JOIN tot),
+den AS (SELECT CAST(sum(wq) AS BIGINT) AS sum_wq FROM q),
+base AS (
+  SELECT source, src_tokens, wq, sum_wq,
+         CAST((CAST(wq AS HUGEINT) * {APPORTION_BUDGET}) // sum_wq
+              AS BIGINT) AS floor_quota
+  FROM q CROSS JOIN den),
+b2 AS (
+  SELECT *, wq * {APPORTION_BUDGET} - floor_quota * sum_wq AS rem_num
+  FROM base),
+lo AS (
+  SELECT CAST({APPORTION_BUDGET} - sum(floor_quota) AS BIGINT) AS leftover
+  FROM b2),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem_num DESC, source ASC) AS r
+  FROM b2)
+SELECT source, src_tokens, floor_quota,
+       CAST(rem_num AS BIGINT) AS rem_num,
+       CAST(floor_quota + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM rk CROSS JOIN lo
+"""
+
+
+TOKEN_BUDGET_APPORTION = _token_budget_apportion_sql()

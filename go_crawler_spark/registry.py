@@ -77,9 +77,9 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  Entries added after the window was frozen
-# (winnow_fingerprints through zipf_topk, positions 101-123) sit
-# last with local sf0.001/sf0.01 (and, for most, sf0.3) oracle
-# evidence recorded in TESTDATA.md.
+# (winnow_fingerprints through token_budget_apportion, positions
+# 101-124) sit last with local sf0.001/sf0.01 (and, for most, sf0.3)
+# oracle evidence recorded in TESTDATA.md.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
     # text analysis (training-data ops)
@@ -476,6 +476,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "host_skew": (relational.q_host_skew, oracles.HOST_SKEW),
     # Zipf head audit: rank·freq constancy over the vocabulary head
     "zipf_topk": (textstats.q_zipf_topk, oracles.ZIPF_TOPK_SQL),
+    # exact largest-remainder token quotas per source (Σ == budget)
+    "token_budget_apportion": (
+        textstats.q_token_budget_apportion,
+        oracles.TOKEN_BUDGET_APPORTION,
+    ),
 }
 
 

@@ -1682,3 +1682,51 @@ def test_zipf_topk_matches_bruteforce(spark, sf_small):
     )
     assert got == expect
     assert got[0][4] == 1000
+
+
+def test_token_budget_apportion_exact_sum(spark, sf_small):
+    """Largest-remainder quotas equal a pure-Python Hamilton replay and
+    Σ alloc == budget EXACTLY; every bonus goes to a strictly larger
+    remainder than any non-bonus source (up to the source tiebreak)."""
+    import math
+
+    from go_crawler_spark.functions.textstats import (
+        APPORTION_BUDGET,
+        MIX_ALPHA,
+        MIX_SCALE,
+        q_token_budget_apportion,
+    )
+
+    per: dict[str, int] = {}
+    for r in (
+        load(spark, sf_small, "documents").select("source", "text").collect()
+    ):
+        per[r["source"]] = per.get(r["source"], 0) + len(
+            [t for t in r["text"].strip().split() if t]
+        )
+    tot = sum(per.values())
+    wq = {
+        s: math.floor((n / tot) ** MIX_ALPHA * MIX_SCALE)
+        for s, n in per.items()
+    }
+    sum_wq = sum(wq.values())
+    fq = {s: w * APPORTION_BUDGET // sum_wq for s, w in wq.items()}
+    rem = {s: wq[s] * APPORTION_BUDGET - fq[s] * sum_wq for s in wq}
+    leftover = APPORTION_BUDGET - sum(fq.values())
+    order = sorted(wq, key=lambda s: (-rem[s], s))
+    alloc = {
+        s: fq[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+    got = {
+        r["source"]: (
+            r["src_tokens"],
+            r["floor_quota"],
+            r["rem_num"],
+            r["alloc"],
+        )
+        for r in q_token_budget_apportion(spark, sf_small).collect()
+    }
+    assert got == {
+        s: (per[s], fq[s], rem[s], alloc[s]) for s in per
+    }
+    assert sum(a for _, _, _, a in got.values()) == APPORTION_BUDGET

@@ -659,6 +659,13 @@ AUDITED = {
         ["HashAggregate", "TakeOrderedAndProject"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # apportionment: one corpus pass (source-keyed HashAggregate);
+    # the quota/remainder windows and one-row crosses run over
+    # n_sources rows — sanctioned broadcast NLJs only.
+    "token_budget_apportion": (
+        ["HashAggregate", "Window"],
+        ["CartesianProduct", "SortMergeJoin"],
+    ),
 }
 
 
