@@ -220,6 +220,7 @@ def main() -> None:
         "host_skew",  # frontier Gini + top-1% share off the histogram
         "zipf_topk",  # rank x freq constancy over the vocabulary head
         "token_budget_apportion",  # exact largest-remainder quotas
+        "cross_source_dup",  # which feeds mirror each other
     ]
     t_all = time.time()
     warmup(spark, sf_dir)

@@ -903,3 +903,41 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fuzzy_contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplication audit — which FEEDS mirror each other. The
+# host-level twin (mirror_hosts, Bharat-Broder) catches replicated
+# sites; this catches replicated SOURCES: for every near-identity key
+# (the leading-5-token prefix, the same canonicalized-URL analog
+# dedupe_first_writer_wins collapses on) that appears in two or more
+# sources, count shared keys per unordered source pair. A corpus
+# builder reads this table to decide which feed to drop wholesale
+# before paying per-document dedup on the overlap (CommonCrawl vs a
+# curated web feed can overlap 30-60%).
+#
+# Scale shape: one DISTINCT on (key, source) — map-side partial agg
+# first — then a self-equi-join keyed on the key. Per-key fanout is
+# bounded by the SOURCE cardinality (feeds: dozens at any corpus
+# size), never by document count, so no hot key can go O(n²) in docs.
+# At 100 TB the join key becomes xxhash64(prefix) with the same
+# content-equality backstop as exact_dedup; here it is the prefix
+# itself so the DuckDB oracle is engine-agnostic.
+# --------------------------------------------------------------------------
+
+
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, n_shared_keys): for every unordered source pair,
+    how many leading-5-token content keys both sources contain."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ")
+    d = docs.select(key.alias("dup_key"), "source").distinct()
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dup_key") == F.col("b.dup_key"))
+        & (F.col("a.source") < F.col("b.source")),
+    )
+    return pairs.groupBy(
+        F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shared_keys"))

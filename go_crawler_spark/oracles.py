@@ -4512,3 +4512,22 @@ FROM rk CROSS JOIN lo
 
 
 TOKEN_BUDGET_APPORTION = _token_budget_apportion_sql()
+
+# --- cross-source duplication audit ------------------------------------------------
+# Mirrors cleaning.q_cross_source_dup: distinct (leading-5-token key,
+# source), self-join on the key with src_a < src_b, count shared keys
+# per pair. string_split(text, ' ') matches Spark's split-on-space
+# (empties retained, slice clamps on short docs) exactly.
+
+CROSS_SOURCE_DUP = """
+WITH d AS (
+  SELECT DISTINCT
+         array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key,
+         source
+  FROM documents),
+p AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM d a JOIN d b ON a.dup_key = b.dup_key AND a.source < b.source)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared_keys
+FROM p GROUP BY src_a, src_b
+"""

@@ -77,8 +77,8 @@ def _stream_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (all 100 were also locally oracle-swept this round at sf0.01 AND
 # the 3× sf0.3 set).  Pure dict ordering; no behavior change from
 # the order itself.  Entries added after the window was frozen
-# (winnow_fingerprints through token_budget_apportion, positions
-# 101-124) sit last with local sf0.001/sf0.01 (and, for most, sf0.3)
+# (winnow_fingerprints through cross_source_dup, positions
+# 101-125) sit last with local sf0.001/sf0.01 (and, for most, sf0.3)
 # oracle evidence recorded in TESTDATA.md.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- 1-38: not covered by CORRECTNESS_r04 (evidence is r1-r3) ----
@@ -480,6 +480,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "token_budget_apportion": (
         textstats.q_token_budget_apportion,
         oracles.TOKEN_BUDGET_APPORTION,
+    ),
+    # which feeds mirror each other: shared content keys per source pair
+    "cross_source_dup": (
+        cleaning.q_cross_source_dup,
+        oracles.CROSS_SOURCE_DUP,
     ),
 }
 

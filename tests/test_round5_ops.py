@@ -1730,3 +1730,31 @@ def test_token_budget_apportion_exact_sum(spark, sf_small):
         s: (per[s], fq[s], rem[s], alloc[s]) for s in per
     }
     assert sum(a for _, _, _, a in got.values()) == APPORTION_BUDGET
+
+
+def test_cross_source_dup_matches_bruteforce(spark, sf_small):
+    """Source-pair shared-key counts equal a pure-Python replay over
+    the same leading-5-token keys (split-on-space, empties retained),
+    pairs are strictly ordered, and counts are positive."""
+    import itertools
+
+    from go_crawler_spark.functions.cleaning import q_cross_source_dup
+
+    seen: dict[str, set[str]] = {}
+    for r in (
+        load(spark, sf_small, "documents").select("source", "text").collect()
+    ):
+        k = " ".join(r["text"].split(" ")[:5])
+        seen.setdefault(k, set()).add(r["source"])
+    expect: dict[tuple[str, str], int] = {}
+    for srcs in seen.values():
+        for a, b in itertools.combinations(sorted(srcs), 2):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_keys"]
+        for r in q_cross_source_dup(spark, sf_small).collect()
+    }
+    assert got == expect
+    assert got  # the synthetic corpus does contain cross-source keys
+    assert all(a < b for a, b in got)
+    assert all(n >= 1 for n in got.values())

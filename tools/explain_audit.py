@@ -666,6 +666,13 @@ AUDITED = {
         ["HashAggregate", "Window"],
         ["CartesianProduct", "SortMergeJoin"],
     ),
+    # cross-source dup: distinct (key, source) with map-side partial
+    # agg, then a key-keyed self-equi-join whose per-key fanout is
+    # bounded by source cardinality — never a product, never a window.
+    "cross_source_dup": (
+        ["HashAggregate"],
+        ["CartesianProduct", "BroadcastNestedLoopJoin", "Window"],
+    ),
 }
 
 
